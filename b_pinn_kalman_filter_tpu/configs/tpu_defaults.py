@@ -1,0 +1,23 @@
+"""TPU-execution defaults shared by every config (no reference analog).
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(reference: models/utils.py:93).  Here the equivalent is a JAX device mesh with
+batch sharding; these knobs configure it.
+"""
+
+import ml_collections
+
+
+def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.ConfigDict:
+  tpu = config.tpu = ml_collections.ConfigDict()
+  # Data-parallel axis size; -1 = all local devices.
+  tpu.data_axis = -1
+  # Mesh axis names: data parallel is the only one the reference semantics
+  # need; fsdp axis kept for large models (params sharded over it).
+  tpu.mesh_shape = (-1, 1)        # (dp, fsdp)
+  tpu.compute_dtype = 'bfloat16'  # MXU-native matmul/conv dtype
+  tpu.param_dtype = 'float32'
+  tpu.remat = False               # jax.checkpoint the U-Net stages
+  tpu.donate_state = True
+  config.device = 'tpu'
+  return config

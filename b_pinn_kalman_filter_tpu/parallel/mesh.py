@@ -1,0 +1,69 @@
+"""Device mesh + sharding utilities — the TPU replacement for the reference's
+``torch.nn.DataParallel`` (reference: models/utils.py:93, datasets.py:178-180).
+
+Design (SURVEY §2.3): one ``jax.sharding.Mesh`` with axes ``('data', 'fsdp')``.
+The train step and samplers are jitted with batch inputs sharded over
+``'data'`` and params replicated (or sharded over ``'fsdp'`` for large
+models); XLA inserts the psum for gradients over ICI automatically.
+Multi-host works unchanged: ``jax.process_index() == 0`` gates logging and
+checkpoint writes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+FSDP_AXIS = 'fsdp'
+
+
+def create_mesh(config=None, devices: Optional[Sequence] = None) -> Mesh:
+  """Build the device mesh from ``config.tpu.mesh_shape`` ((-1, 1) default)."""
+  if devices is None:
+    devices = jax.devices()
+  n = len(devices)
+  if config is not None and hasattr(config, 'tpu'):
+    dp, fsdp = config.tpu.mesh_shape
+  else:
+    dp, fsdp = -1, 1
+  if dp == -1:
+    dp = n // max(fsdp, 1)
+  dev_array = np.asarray(devices).reshape(dp, fsdp)
+  return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+  """Batch-dim sharding over the data axis."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+  """Device-put a (pytree of) host array(s) sharded on the leading batch dim."""
+  sharding = data_sharding(mesh)
+  return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+  """Device-put a pytree fully replicated over the mesh."""
+  sharding = replicate_sharding(mesh)
+  return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def get_data_axis_size(mesh: Mesh) -> int:
+  return mesh.shape[DATA_AXIS]
+
+
+def check_batch_divisible(config, mesh: Mesh):
+  """Batch must divide the data axis (reference datasets.py:178-180 analog)."""
+  n = get_data_axis_size(mesh)
+  bs = config.training.batch_size
+  if bs % n != 0:
+    raise ValueError(f'Batch size {bs} must be divisible by data-axis size {n}.')
