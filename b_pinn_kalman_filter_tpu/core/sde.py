@@ -132,7 +132,9 @@ class VPSDE(SDE):
     self.discrete_betas = jnp.asarray(betas, jnp.float32)
     alphas = 1.0 - betas
     self.alphas = jnp.asarray(alphas, jnp.float32)
-    ac = np.cumprod(alphas)
+    # Clip for degenerate schedules (beta > 1 when N is tiny) — keeps the
+    # sqrt arrays finite; such configs only use the continuous path anyway.
+    ac = np.clip(np.cumprod(alphas), 0.0, 1.0)
     self.alphas_cumprod = jnp.asarray(ac, jnp.float32)
     self.sqrt_alphas_cumprod = jnp.asarray(np.sqrt(ac), jnp.float32)
     self.sqrt_1m_alphas_cumprod = jnp.asarray(np.sqrt(1.0 - ac), jnp.float32)

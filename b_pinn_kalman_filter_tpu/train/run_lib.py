@@ -1,0 +1,267 @@
+"""Training / evaluation / sampling drivers (reference: run_lib.py).
+
+Same cadence semantics as the reference train loop (log/eval/preempt-ckpt/
+snapshot, run_lib.py:129-185), on a jitted mesh-sharded train step with
+donated state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from b_pinn_kalman_filter_tpu import models as mutils
+from b_pinn_kalman_filter_tpu.core import likelihood as likelihood_lib
+from b_pinn_kalman_filter_tpu.core import losses, sampling
+from b_pinn_kalman_filter_tpu.core import sde as sde_lib
+from b_pinn_kalman_filter_tpu.data import (get_data_inverse_scaler,
+                                           get_data_scaler, get_dataset)
+from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
+from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
+from b_pinn_kalman_filter_tpu.train import state as state_lib
+from b_pinn_kalman_filter_tpu.utils.misc import save_image_grid
+
+
+def _summary_writer(tb_dir):
+  try:
+    from torch.utils import tensorboard
+    return tensorboard.SummaryWriter(tb_dir)
+  except Exception:
+
+    class _Null:
+      def add_scalar(self, *a, **k):
+        pass
+
+    return _Null()
+
+
+def train(config, workdir: str):
+  """Runs the score-model training pipeline (reference run_lib.py:60-185)."""
+  sample_dir = os.path.join(workdir, "samples")
+  tb_dir = os.path.join(workdir, "tensorboard")
+  is_main = jax.process_index() == 0
+  if is_main:
+    os.makedirs(sample_dir, exist_ok=True)
+    os.makedirs(tb_dir, exist_ok=True)
+  writer = _summary_writer(tb_dir)
+
+  mesh = mesh_lib.create_mesh(config)
+  mesh_lib.check_batch_divisible(config, mesh)
+
+  rng = jax.random.PRNGKey(config.seed)
+  rng, init_rng = jax.random.split(rng)
+  model, variables = mutils.init_model(init_rng, config)
+  tx = losses.get_optimizer(config)
+  state = state_lib.create_train_state(variables['params'], tx,
+                                       config.model.ema_rate)
+
+  checkpoint_dir = os.path.join(workdir, "checkpoints")
+  checkpoint_meta_dir = os.path.join(workdir, "checkpoints-meta", "checkpoint")
+  os.makedirs(checkpoint_dir, exist_ok=True)
+  os.makedirs(os.path.dirname(checkpoint_meta_dir), exist_ok=True)
+  # Resume from the preemption checkpoint when present.
+  state = ckpt_lib.restore_checkpoint(checkpoint_meta_dir, state, quiet=True)
+  initial_step = int(state.step)
+  state = mesh_lib.replicate(state, mesh)
+
+  train_ds, eval_ds = get_dataset(
+      config, uniform_dequantization=config.data.uniform_dequantization)
+  train_iter, eval_iter = iter(train_ds), iter(eval_ds)
+  scaler = get_data_scaler(config)
+  inverse_scaler = get_data_inverse_scaler(config)
+
+  sde, sampling_eps = sde_lib.get_sde(config)
+
+  common = dict(reduce_mean=config.training.reduce_mean,
+                continuous=config.training.continuous,
+                likelihood_weighting=config.training.likelihood_weighting)
+  train_step_fn = jax.jit(
+      losses.get_step_fn(sde, model, tx, train=True, **common),
+      donate_argnums=(1,))
+  eval_step_fn = jax.jit(
+      losses.get_step_fn(sde, model, tx, train=False, **common))
+
+  if config.training.snapshot_sampling:
+    sampling_shape = (config.training.batch_size // 4,
+                      config.data.image_size, config.data.image_size,
+                      config.data.num_channels)
+    sampling_fn = jax.jit(sampling.get_sampling_fn(
+        config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+
+  num_train_steps = config.training.n_iters
+  logging.info("Starting training loop at step %d.", initial_step)
+
+  for step in range(initial_step, num_train_steps + 1):
+    batch = _next_batch(train_iter, scaler, mesh)
+    rng, step_rng = jax.random.split(rng)
+    state, loss = train_step_fn(step_rng, state, batch)
+
+    if step % config.training.log_freq == 0 and is_main:
+      loss_val = float(loss)
+      logging.info("step: %d, training_loss: %.5e", step, loss_val)
+      writer.add_scalar("training_loss", loss_val, step)
+
+    if step != 0 and step % config.training.snapshot_freq_for_preemption == 0 and is_main:
+      ckpt_lib.save_checkpoint(checkpoint_meta_dir, jax.device_get(state))
+
+    if step % config.training.eval_freq == 0:
+      eval_batch = _next_batch(eval_iter, scaler, mesh)
+      rng, eval_rng = jax.random.split(rng)
+      _, eval_loss = eval_step_fn(eval_rng, state, eval_batch)
+      if is_main:
+        logging.info("step: %d, eval_loss: %.5e", step, float(eval_loss))
+        writer.add_scalar("eval_loss", float(eval_loss), step)
+
+    if step != 0 and (step % config.training.snapshot_freq == 0
+                      or step == num_train_steps):
+      save_step = step // config.training.snapshot_freq
+      if is_main:
+        ckpt_lib.save_checkpoint(
+            os.path.join(checkpoint_dir, f'checkpoint_{save_step}'),
+            jax.device_get(state))
+        logging.info("checkpoint_%d saved", save_step)
+
+      if config.training.snapshot_sampling:
+        rng, sample_rng = jax.random.split(rng)
+        sample, n = sampling_fn(sample_rng, state.ema_params)
+        if is_main:
+          this_sample_dir = os.path.join(sample_dir, f"iter_{step}")
+          os.makedirs(this_sample_dir, exist_ok=True)
+          sample_np = np.asarray(sample)
+          with open(os.path.join(this_sample_dir, "sample.np"), "wb") as fout:
+            np.save(fout, np.clip(sample_np * 255, 0, 255).astype(np.uint8))
+          save_image_grid(sample_np, os.path.join(this_sample_dir, "sample.png"))
+
+  return state
+
+
+def _next_batch(it, scaler, mesh):
+  item = next(it)
+  batch = item[0] if isinstance(item, tuple) else item
+  return mesh_lib.shard_batch(scaler(np.asarray(batch, np.float32)), mesh)
+
+
+def sample(config, ckptdir: str, workdir: str):
+  """Sample from a trained checkpoint (reference run_lib.py:188-214)."""
+  rng = jax.random.PRNGKey(config.seed)
+  rng, init_rng = jax.random.split(rng)
+  model, variables = mutils.init_model(init_rng, config)
+  tx = losses.get_optimizer(config)
+  state = state_lib.create_train_state(variables['params'], tx,
+                                       config.model.ema_rate)
+  state = ckpt_lib.restore_checkpoint(ckptdir, state)
+
+  inverse_scaler = get_data_inverse_scaler(config)
+  sde, sampling_eps = sde_lib.get_sde(config)
+  sampling_shape = (config.training.batch_size,
+                    config.data.image_size, config.data.image_size,
+                    config.data.num_channels)
+  sampling_fn = jax.jit(sampling.get_sampling_fn(
+      config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+  rng, sample_rng = jax.random.split(rng)
+  samples, n = sampling_fn(sample_rng, state.ema_params)
+
+  os.makedirs(workdir, exist_ok=True)
+  save_image_grid(np.asarray(samples), os.path.join(workdir, "sample.png"))
+  return samples, n
+
+
+def evaluate(config, workdir: str, eval_folder: str = "eval"):
+  """Evaluate trained checkpoints: loss, bpd, and sample dumps
+  (reference run_lib.py:217-452; FID/IS wiring lives in evaluation.py)."""
+  eval_dir = os.path.join(workdir, eval_folder)
+  os.makedirs(eval_dir, exist_ok=True)
+
+  mesh = mesh_lib.create_mesh(config)
+  _, eval_ds = get_dataset(
+      config, uniform_dequantization=config.data.uniform_dequantization,
+      evaluation=True)
+  scaler = get_data_scaler(config)
+  inverse_scaler = get_data_inverse_scaler(config)
+
+  rng = jax.random.PRNGKey(config.seed + 1)
+  rng, init_rng = jax.random.split(rng)
+  model, variables = mutils.init_model(init_rng, config)
+  tx = losses.get_optimizer(config)
+  template = state_lib.create_train_state(variables['params'], tx,
+                                          config.model.ema_rate)
+
+  sde, sampling_eps = sde_lib.get_sde(config)
+
+  eval_step_fn = jax.jit(losses.get_step_fn(
+      sde, model, tx, train=False,
+      reduce_mean=config.training.reduce_mean,
+      continuous=config.training.continuous,
+      likelihood_weighting=config.training.likelihood_weighting))
+
+  if config.eval.enable_bpd:
+    likelihood_fn = jax.jit(likelihood_lib.get_likelihood_fn(
+        sde, model, inverse_scaler))
+
+  if config.eval.enable_sampling:
+    sampling_shape = (config.eval.batch_size,
+                      config.data.image_size, config.data.image_size,
+                      config.data.num_channels)
+    sampling_fn = jax.jit(sampling.get_sampling_fn(
+        config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+
+  checkpoint_dir = os.path.join(workdir, "checkpoints")
+  results = {}
+  for ckpt in range(config.eval.begin_ckpt, config.eval.end_ckpt + 1):
+    ckpt_path = os.path.join(checkpoint_dir, f'checkpoint_{ckpt}')
+    if not os.path.exists(ckpt_path):
+      # The reference waits for checkpoints to appear (run_lib.py:309-313);
+      # here missing checkpoints are skipped so eval can run standalone.
+      logging.warning("checkpoint_%d not found; skipping", ckpt)
+      continue
+    state = ckpt_lib.restore_checkpoint(ckpt_path, template)
+    state = mesh_lib.replicate(state, mesh)
+
+    if config.eval.enable_loss:
+      all_losses = []
+      for i, item in enumerate(iter(eval_ds)):
+        batch = _next_batch(iter([item]), scaler, mesh)
+        rng, step_rng = jax.random.split(rng)
+        _, eval_loss = eval_step_fn(step_rng, state, batch)
+        all_losses.append(float(eval_loss))
+      all_losses = np.asarray(all_losses)
+      np.savez_compressed(os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
+                          all_losses=all_losses, mean_loss=all_losses.mean())
+      results[f'ckpt_{ckpt}_loss'] = float(all_losses.mean())
+
+    if config.eval.enable_bpd:
+      bpds = []
+      repeats = 5 if config.eval.bpd_dataset.lower() == 'test' else 1
+      for repeat in range(repeats):
+        for batch_id, item in enumerate(iter(eval_ds)):
+          batch = _next_batch(iter([item]), scaler, mesh)
+          rng, step_rng = jax.random.split(rng)
+          bpd, z, nfe = likelihood_fn(step_rng, state.ema_params, batch)
+          bpds.extend(np.asarray(bpd).reshape(-1))
+          logging.info("ckpt: %d, repeat: %d, batch: %d, mean bpd: %6f",
+                       ckpt, repeat, batch_id, np.mean(bpds))
+      np.savez_compressed(
+          os.path.join(eval_dir,
+                       f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
+          bpd=np.asarray(bpds))
+      results[f'ckpt_{ckpt}_bpd'] = float(np.mean(bpds))
+
+    if config.eval.enable_sampling:
+      num_rounds = config.eval.num_samples // config.eval.batch_size + 1
+      this_sample_dir = os.path.join(eval_dir, f"ckpt_{ckpt}")
+      os.makedirs(this_sample_dir, exist_ok=True)
+      for r in range(num_rounds):
+        rng, sample_rng = jax.random.split(rng)
+        samples, n = sampling_fn(sample_rng, state.ema_params)
+        samples = np.clip(np.asarray(samples) * 255., 0, 255).astype(np.uint8)
+        np.savez_compressed(
+            os.path.join(this_sample_dir, f"samples_{r}.npz"), samples=samples)
+        logging.info("sampling -- ckpt: %d, round: %d", ckpt, r)
+
+  return results
