@@ -1,0 +1,219 @@
+"""Inverse-problem suite tests: operators, observation SDE, DPS/controlled
+samplers with analytic scores, PC inpainter/colorizer."""
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from b_pinn_kalman_filter_tpu.core import sampling, sde as sde_lib
+from b_pinn_kalman_filter_tpu.core import controllable
+from b_pinn_kalman_filter_tpu.inverse import (
+    GaussianFilter, InpaintOperator, LOBSVSDE, ScalerMult)
+from b_pinn_kalman_filter_tpu.inverse import conditional_sampling
+
+
+class _FixedMaskSource:
+  def __init__(self, mask):
+    self._mask = mask
+
+  def next(self):
+    return self._mask
+
+
+def _checkerboard(h, w):
+  m = (np.indices((h, w)).sum(axis=0) % 2).astype(np.float32)
+  return m[..., None]
+
+
+class TestOperators:
+
+  def test_inpaint_keep_shape(self):
+    mask = _checkerboard(4, 4)
+    op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+    x = jnp.ones((2, 4, 4, 3))
+    out = op(x, keep_shape=True)
+    np.testing.assert_allclose(out, mask[None] * np.ones((2, 4, 4, 3)))
+    inv = op(x, keep_shape=True, invert=True)
+    np.testing.assert_allclose(np.asarray(out + inv), 1.0)
+
+  def test_inpaint_flat_matches_matrix(self):
+    mask = _checkerboard(4, 4)
+    op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 4, 4, 1)), jnp.float32)
+    flat = op(x, keep_shape=False)      # (1, 1, 16) zero-padded
+    A = op.to_matrix((4, 4))
+    expected = A @ np.asarray(x).reshape(-1)
+    np.testing.assert_allclose(np.asarray(flat).reshape(-1), expected,
+                               rtol=1e-6)
+
+  def test_inpaint_decompose_identity(self):
+    """A == pL @ pL^T A (projection property of the decomposition)."""
+    mask = _checkerboard(4, 4)
+    op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+    A, pL, T = op.decompose((4, 4))
+    np.testing.assert_allclose(pL @ pL.T, A, atol=1e-6)
+
+  def test_project_observed_roundtrip(self):
+    mask = _checkerboard(4, 4)
+    op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+    x = jnp.asarray(np.random.default_rng(1).random((2, 4, 4, 1)), jnp.float32)
+    y = op(x, keep_shape=False)
+    back = op.project_observed(y, (4, 4))
+    np.testing.assert_allclose(back, op(x, keep_shape=True), rtol=1e-6)
+
+  def test_gaussian_filter_matches_scipy(self):
+    from scipy import signal
+    op = GaussianFilter(shape=(3, 3), std=3)
+    x = np.random.default_rng(2).random((8, 8)).astype(np.float32)
+    expected = signal.convolve2d(x, op.get_kernel(), boundary='symm',
+                                 mode='same')
+    got = op(jnp.asarray(x))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+  def test_gaussian_filter_matrix_matches_valid_conv(self):
+    from scipy import signal
+    op = GaussianFilter(shape=(3, 3), std=3)
+    x = np.random.default_rng(3).random((8, 8)).astype(np.float32)
+    mat = op.to_matrix((8, 8))
+    got = (mat @ x.flatten()).reshape(6, 6)
+    expected = signal.convolve2d(x, op.get_kernel(), mode='valid')
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-5)
+
+  def test_scaler_mult(self):
+    op = ScalerMult(2.5)
+    x = jnp.ones((2, 3))
+    np.testing.assert_allclose(op(x), 2.5)
+
+
+MU0, S0 = 0.8, 0.3
+
+
+def _analytic_score(sde):
+  def score_fn(x, t, rng=None):
+    a, std = sde.marginal_coef(t)
+    var = a ** 2 * S0 ** 2 + std ** 2
+    return -(x - (a * MU0)[:, None, None, None]) / var[:, None, None, None]
+  return score_fn
+
+
+class _FakeModelWrapper:
+  """Duck-types the (model, params) pair for mutils.get_score_fn by
+  monkeypatching: tests pass an explicit score instead."""
+
+
+def _make_config(solver='RK45', sampler='dps', variance=0.01):
+  config = ml_collections.ConfigDict()
+  config.inverse = ml_collections.ConfigDict()
+  config.inverse.solver = solver
+  config.inverse.sampler = sampler
+  config.inverse.variance = variance
+  return config
+
+
+def test_lobsvsde_observe_sampling_shapes():
+  mask = _checkerboard(4, 4)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  state_sde = sde_lib.VPSDE(N=100)
+  x0 = jnp.full((3, 4, 4, 1), MU0)
+  y0 = op(x0, keep_shape=False)
+  obsv = LOBSVSDE(state_sde, y0, op)
+  z = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+  t = jnp.asarray([0.1, 0.5, 0.9])
+  yt = obsv.observe_sampling(z, t)
+  assert yt.shape == y0.shape
+  # At t->0, y_t -> y_0.
+  yt0 = obsv.observe_sampling(z, jnp.full((3,), 1e-5))
+  np.testing.assert_allclose(yt0, y0, atol=1e-2)
+
+
+def test_dps_recovers_observed_pixels(monkeypatch):
+  """DPS with the analytic score must reproduce observed pixels closely."""
+  from b_pinn_kalman_filter_tpu.models import registry
+
+  sde = sde_lib.VPSDE(N=100)
+  score = _analytic_score(sde)
+  monkeypatch.setattr(registry, 'get_score_fn',
+                      lambda *a, **k: score)
+
+  mask = _checkerboard(6, 6)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  rng = jax.random.PRNGKey(0)
+  origin = MU0 + S0 * jax.random.normal(rng, (8, 6, 6, 1))
+  y0 = op(origin, keep_shape=False)
+  obsv = LOBSVSDE(sde, y0, op)
+
+  # variance matches the reference inpaint_dps config (0.1); smaller values
+  # make the DPS field prohibitively stiff for the ODE solver.
+  config = _make_config(solver='RK45', sampler='dps', variance=0.1)
+  sampler = conditional_sampling.get_dps_sampler(config, obsv, origin.shape,
+                                                 eps=1e-3)
+  samples = jax.jit(lambda r: sampler(r, None, None))(jax.random.PRNGKey(1))
+  assert np.isfinite(np.asarray(samples)).all()
+  # Observed pixels should be pulled toward the observation: an
+  # unconditional sample has E|x - origin| = 2*S0/sqrt(pi) ~ 0.34 on
+  # observed pixels; DPS must beat that.
+  m = np.asarray(mask)[None]
+  B = samples.shape[0]
+  obs_err = np.abs(np.asarray(samples - origin) * m).sum() / (m.sum() * B)
+  assert obs_err < 0.28, obs_err
+
+
+def test_controlled_sampler_runs(monkeypatch):
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+  score = _analytic_score(sde)
+  monkeypatch.setattr(registry, 'get_score_fn', lambda *a, **k: score)
+
+  mask = _checkerboard(6, 6)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  origin = jnp.full((4, 6, 6, 1), MU0)
+  y0 = op(origin, keep_shape=False)
+  obsv = LOBSVSDE(sde, y0, op)
+  config = _make_config(solver='RK45', sampler='controlled')
+  sampler = conditional_sampling.get_controlled_sampler(
+      config, obsv, origin.shape, lambda t: (1.0 - t) * 0.8, eps=1e-3)
+  samples = sampler(jax.random.PRNGKey(0), None, None)
+  assert samples.shape == origin.shape
+  assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_pc_inpainter_preserves_known_region(monkeypatch):
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+  score = _analytic_score(sde)
+  monkeypatch.setattr(registry, 'get_score_fn', lambda *a, **k: score)
+
+  mask = jnp.asarray(np.broadcast_to(_checkerboard(6, 6), (4, 6, 6, 1)))
+  data = MU0 + S0 * jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, 1))
+  inpainter = controllable.get_pc_inpainter(
+      sde, None, sampling.get_predictor('euler_maruyama'),
+      sampling.get_corrector('none'), lambda x: x, snr=0.16, eps=1e-3)
+  out = jax.jit(lambda r: inpainter(r, None, data, mask))(jax.random.PRNGKey(1))
+  m = np.asarray(mask)
+  np.testing.assert_allclose(np.asarray(out) * m, np.asarray(data) * m,
+                             atol=0.05)
+  assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pc_colorizer_preserves_grayscale(monkeypatch):
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+
+  def score3(x, t, rng=None):
+    a, std = sde.marginal_coef(t)
+    var = a ** 2 * S0 ** 2 + std ** 2
+    return -(x - (a * MU0)[:, None, None, None]) / var[:, None, None, None]
+
+  monkeypatch.setattr(registry, 'get_score_fn', lambda *a, **k: score3)
+  gray = jnp.tile(
+      jax.random.uniform(jax.random.PRNGKey(0), (2, 6, 6, 1)), (1, 1, 1, 3))
+  colorizer = controllable.get_pc_colorizer(
+      sde, None, sampling.get_predictor('euler_maruyama'),
+      sampling.get_corrector('none'), lambda x: x, snr=0.16, eps=1e-3)
+  out = jax.jit(lambda r: colorizer(r, None, gray))(jax.random.PRNGKey(1))
+  # The luminance channel (decoupled channel 0) must match the input's.
+  lum_out = np.asarray(controllable.decouple(out))[..., 0]
+  lum_in = np.asarray(controllable.decouple(gray))[..., 0]
+  np.testing.assert_allclose(lum_out, lum_in, atol=0.05)
