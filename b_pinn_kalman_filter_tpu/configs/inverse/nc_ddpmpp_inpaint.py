@@ -1,0 +1,19 @@
+"""Controlled-projection inpainting on NC (reference: configs/inverse/nc_ddpmpp_inpaint.py)."""
+
+import ml_collections
+
+from b_pinn_kalman_filter_tpu.configs.vp import nc_ddpmpp
+
+
+def get_config():
+  config = nc_ddpmpp.get_config()
+  config.training.batch_size = 16
+
+  inverse = config.inverse = ml_collections.ConfigDict()
+  inverse.operator = 'inpaint'
+  inverse.invert = False
+  inverse.ratio = 0.5
+  inverse.sampler = 'controlled'
+  inverse.variance = 0.1
+  inverse.solver = 'fixed'  # 'RK45', 'RK23', 'fixed'
+  return config

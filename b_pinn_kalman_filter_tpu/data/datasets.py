@@ -149,6 +149,8 @@ def _generate_ns_rollout(n_frames: int, h: int, w: int, seed: int = 0) -> np.nda
 
   rng = np.random.default_rng(seed)
   coordx, coordy = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+  coordx = coordx.astype(np.float32)
+  coordy = coordy.astype(np.float32)
   frames = np.zeros((n_frames, 6, h, w), np.float32)
   density = _smooth_field(rng, (h, w), 6).astype(np.float32)
   u = (_smooth_field(rng, (h, w), 8) - 0.5).astype(np.float32) * 2.0
@@ -156,15 +158,36 @@ def _generate_ns_rollout(n_frames: int, h: int, w: int, seed: int = 0) -> np.nda
   p = np.zeros((h, w), np.float32)
 
   dt, dx = 0.0025, 1.0 / max(h, w)
+
+  # Fast path: native C++ simulator (csrc/ns_sim.cpp) on the host CPU.
+  try:
+    from b_pinn_kalman_filter_tpu.data.native import ns_sim_rollout
+    native = ns_sim_rollout(n_frames, density.copy(), u.copy(), v.copy(),
+                            p.copy(), coordx, coordy, dt, dx)
+    if native is not None:
+      return native
+  except Exception:
+    pass
+  if have_ns:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _step(d_, u_, v_, p_):
+      u_, v_ = ns.update_velocity(u_, v_, p_, dt, dx)
+      p_ = ns.update_pressure(u_, v_, p_, dt, dx)
+      d_ = ns.update_density(d_, u_, v_, dt, dx)
+      # Mild damping keeps the explicit scheme stable over long synthetic
+      # rollouts (the raw stepper diverges after ~160 free-running frames;
+      # the reference only ever runs it for ~100, simulator.py:87).
+      return d_, u_ * 0.99, v_ * 0.99, p_ * 0.95
+
   for i in range(n_frames):
     frames[i, 0], frames[i, 1] = coordx, coordy
     frames[i, 2], frames[i, 3], frames[i, 4], frames[i, 5] = density, u, v, p
     if have_ns:
-      import jax.numpy as jnp
-      d_, u_, v_, p_ = [jnp.asarray(a)[None] for a in (density, u, v, p)]
-      u_, v_ = ns.update_velocity(u_, v_, p_, dt, dx)
-      p_ = ns.update_pressure(u_, v_, p_, dt, dx)
-      d_ = ns.update_density(d_, u_, v_, dt, dx)
+      d_, u_, v_, p_ = _step(*[jnp.asarray(a)[None] for a in
+                               (density, u, v, p)])
       density, u, v, p = (np.asarray(a[0]) for a in (d_, u_, v_, p_))
     else:
       # Crude fallback advection (only used before ops.ns_step lands).

@@ -1,0 +1,164 @@
+"""UKF driver: patch-state filter + B-PINN fusion loop
+(reference: pinn_kalman/ukf.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from b_pinn_kalman_filter_tpu.kalman import ukf as ukf_core
+from b_pinn_kalman_filter_tpu.kalman.dynamics import (IdentityKFMeasure,
+                                                      NSDynamics)
+from b_pinn_kalman_filter_tpu.kalman.patching import patch, unpatch
+
+Array = jax.Array
+
+
+class UKF:
+  """Patch-wise square-root UKF (reference UKF, ukf.py:9-44)."""
+
+  def __init__(self, config):
+    self.dim = config.kf.patch_size
+    self.size = config.data.image_size
+    self.dynamics = NSDynamics(config)
+    self.measurement = IdentityKFMeasure(config)
+    self.weights = ukf_core.merwe_weights(self.dim ** 2, alpha=1.0,
+                                          beta=0.0, kappa=0.0)
+    self.belief: Optional[ukf_core.UKFBelief] = None
+
+  def initialize(self, x0: Optional[Array] = None, var: float = 0.01):
+    """(reference ukf.py:25-36)."""
+    n = self.dim ** 2
+    N = (self.size // self.dim) ** 2 * 4
+    if x0 is None:
+      mean = jnp.full((N, n), 0.1)
+      cov = jnp.eye(n)[None].repeat(N, axis=0) * 0.01
+    else:
+      mean = x0
+      cov = jnp.eye(n)[None].repeat(x0.shape[0], axis=0) * var
+    self.belief = ukf_core.initialize_beliefs(mean, cov)
+
+  def __call__(self, obsv: Array) -> Array:
+    """One filter cycle on a (B, H, W, 4) observation image
+    (reference ukf.py:38-44)."""
+    obs_state = patch(obsv, self.dim)
+    self.belief = ukf_core.ukf_step(self.belief, obs_state, self.weights,
+                                    self.dynamics, self.measurement)
+    return unpatch(self.belief.mean, self.dim, self.size, 4)
+
+
+class PINN_KF:
+  """B-PINN measurement + UKF fusion loop (reference PINN_KF, ukf.py:46-82)."""
+
+  def __init__(self, config, model=None, bparams=None):
+    from b_pinn_kalman_filter_tpu.pinn.pinn_lib import init_pinn
+
+    self.config = config
+    self.ukf = UKF(config)
+    if model is None:
+      model, variables = init_pinn(config, jax.random.PRNGKey(config.seed))
+      from b_pinn_kalman_filter_tpu.pinn import bayes
+      bparams = bayes.make_bpinn_params(variables['params'], config,
+                                        pretrained=False)
+    self.model = model
+    self.bparams = bparams
+    self.f_prev: Optional[Array] = None
+
+  def initialize(self, f: Array, v: Array, p: Array, var: float = 1e-2):
+    """(reference ukf.py:54-64): state = patched [f, v, p]."""
+    initial_state = jnp.concatenate([f, v, p], axis=-1)
+    initial_state = patch(initial_state, self.config.kf.patch_size)
+    self.ukf.initialize(initial_state, var)
+    self.f_prev = f
+
+  def __call__(self, rng: Array, x: Array, y: Array, t: Array,
+               f: Array) -> Array:
+    """(reference ukf.py:66-82)."""
+    from b_pinn_kalman_filter_tpu.pinn import bayes
+
+    if self.f_prev is None:
+      self.f_prev = jnp.ones_like(f) * 0.1
+
+    flows, press = bayes.sample_uvp(
+        rng, self.model, self.bparams, self.f_prev, f, x, y, t, n=8,
+        size=(self.ukf.size, self.ukf.size))
+    flow_uncer = flows.std(axis=0)
+    pres_uncer = press.std(axis=0)
+    flow = flows.mean(axis=0)
+    pres = press.mean(axis=0)
+
+    self.f_prev = f
+    self.ukf.measurement.update_uncertainty(flow_uncer, pres_uncer)
+
+    obsv = jnp.concatenate([f, flow, pres], axis=-1)
+    return self.ukf(obsv)
+
+
+def run(config, ckptdir: Optional[str], workdir: str, n_steps: int = 10):
+  """CLI 'ukf' mode: B-PINN + UKF rollout on (synthetic) NS data
+  (reference ukf.py __main__ :85-138)."""
+  from b_pinn_kalman_filter_tpu.data.datasets import _cached_ns_rollout
+  from b_pinn_kalman_filter_tpu.pinn import bayes
+  from b_pinn_kalman_filter_tpu.pinn.pinn_lib import init_pinn
+  from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
+  from b_pinn_kalman_filter_tpu.utils.misc import save_image_grid
+
+  os.makedirs(workdir, exist_ok=True)
+  size = config.data.image_size
+  rng = jax.random.PRNGKey(config.seed)
+
+  # Ground-truth rollout frames (T, 6, H, W): coordx, coordy, f, u, v, p.
+  data = _cached_ns_rollout(max(n_steps + 2, 64), size, size, config.seed)
+
+  model, variables = init_pinn(config, jax.random.PRNGKey(0))
+  bparams = bayes.make_bpinn_params(variables['params'], config,
+                                    pretrained=False)
+  if ckptdir and os.path.exists(ckptdir):
+    from b_pinn_kalman_filter_tpu.pinn import losses as pinn_losses
+    from b_pinn_kalman_filter_tpu.train import state as state_lib
+    tx = pinn_losses.get_pinn_optimizer(config, is_bpinn=True)
+    template = state_lib.create_train_state(bparams, tx, config.model.ema_rate)
+    restored = ckpt_lib.restore_checkpoint(ckptdir, template)
+    bparams = restored.ema_params
+
+  pikal = PINN_KF(config, model, bparams)
+
+  def prep(channel, idx):
+    return jnp.asarray(data[idx, channel])[None, :, :, None]
+
+  f0 = prep(2, 0)
+  v0 = jnp.concatenate([prep(3, 0), prep(4, 0)], axis=-1)
+  p0 = prep(5, 0)
+  pikal.initialize(f0, v0, p0)
+
+  preds, gts, obsvs = [], [], []
+  t = jnp.asarray([1.0])
+  for i in range(1, n_steps + 1):
+    x = prep(0, i)
+    y = prep(1, i)
+    f_gt = prep(2, i)
+    gts.append(np.asarray(f_gt))
+
+    rng, obs_rng, mc_rng = jax.random.split(rng, 3)
+    f_obs = pikal.ukf.measurement.observe(obs_rng, f_gt)
+    pred = pikal(mc_rng, x, y, t, f_obs)
+    preds.append(np.asarray(pred[..., 0:1]))
+    obsvs.append(np.asarray(f_obs))
+    mse = float(np.mean((preds[-1] - gts[-1]) ** 2))
+    logging.info("ukf step %d: f MSE %.5e", i, mse)
+    t = t + 1
+
+  grid = np.concatenate([np.concatenate(gts, 0), np.concatenate(preds, 0),
+                         np.concatenate(obsvs, 0)], axis=0)
+  save_image_grid(np.clip(grid, 0, 1), os.path.join(workdir, 'ukf.png'),
+                  nrow=len(gts))
+  final_mse = float(np.mean((np.concatenate(preds) - np.concatenate(gts)) ** 2))
+  with open(os.path.join(workdir, 'ukf_mse.txt'), 'w') as fh:
+    fh.write(f"{final_mse}\n")
+  return final_mse

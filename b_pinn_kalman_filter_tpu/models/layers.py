@@ -86,7 +86,9 @@ def get_timestep_embedding(timesteps: Array, embedding_dim: int,
   """Transformer sinusoidal timestep embedding (reference layers.py:500-514)."""
   assert timesteps.ndim == 1
   half_dim = embedding_dim // 2
-  emb = math.log(max_positions) / (half_dim - 1)
+  # Guard embedding_dim == 2 (half_dim - 1 == 0); the torch original
+  # divides by zero there.
+  emb = math.log(max_positions) / (half_dim - 1 if half_dim > 1 else 1)
   emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
   emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
   emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
@@ -97,9 +99,15 @@ def get_timestep_embedding(timesteps: Array, embedding_dim: int,
 
 
 def get_spatial_embedding(x: Array, y: Array, omega: float, s: float = 1.0) -> Array:
-  """Radial sinusoid positional field (this fork's addition; reference layers.py:517-521)."""
-  e1 = jnp.sin(omega * jnp.sqrt(x ** 2 + y ** 2))
-  e2 = jnp.sin(omega * jnp.sqrt((jnp.max(x) - x) ** 2 + (jnp.max(y) - y) ** 2))
+  """Radial sinusoid positional field (this fork's addition; reference
+  layers.py:517-521).  The sqrt is epsilon-guarded: its gradient is singular
+  at the radial origin, which NaNs the PINN residual's second-order
+  derivatives whenever the coordinate grid contains the exact corner point
+  (the torch original has the same singularity)."""
+  eps = 1e-12
+  e1 = jnp.sin(omega * jnp.sqrt(x ** 2 + y ** 2 + eps))
+  e2 = jnp.sin(omega * jnp.sqrt((jnp.max(x) - x) ** 2
+                                + (jnp.max(y) - y) ** 2 + eps))
   return (e1 + e2) / s
 
 

@@ -1,0 +1,136 @@
+"""PINN: physics-informed flow + pressure inference
+(reference: pinn_kalman/pinn.py).
+
+The reference computes NS residuals with ``torch.autograd.grad`` over
+coordinate-image inputs and needs a custom CUDA kernel for second-order
+grid_sample gradients; here the residuals are nested ``jax.grad`` calls over
+a pure function of the (x, y, t) fields — same sum-then-grad semantics
+(pinn.py:84-92), arbitrary-order derivatives for free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from b_pinn_kalman_filter_tpu.models.ddpm import UNet, MLP
+from b_pinn_kalman_filter_tpu.models.flownet import (FlowNet, PressureNet,
+                                                     project)
+
+Array = jax.Array
+
+
+def get_flow_model(config):
+  """Architecture dispatch (reference pinn.py:20-30)."""
+  arch = config.model.arch
+  if arch == 'flownet':
+    return FlowNet(config)
+  elif arch == 'liteflownet':
+    from b_pinn_kalman_filter_tpu.models.liteflownet import LiteFlowNet
+    return LiteFlowNet(config)
+  elif arch == 'unet':
+    return UNet(config)
+  elif arch == 'mlp':
+    return MLP(config)
+  raise NotImplementedError
+
+
+class PINN(nn.Module):
+  """Flow + pressure composition (reference pinn.py:34-114).
+
+  Input:  f1, f2 (B, H, W, 1) consecutive frames; x, y (B, H, W, 1)
+          coordinate fields; t (B,) times.
+  Output: (cascaded_flow list, pressure).
+  """
+  config: Any
+
+  def setup(self):
+    self.flownet = get_flow_model(self.config)
+    self.pressurenet = PressureNet(self.config)
+
+  def __call__(self, f1, f2, x, y, t, size=None, train=True):
+    flow = self.flownet(f1, f2, x, y, t, size=size, train=train)
+    pressure = self.pressurenet(flow, x, y, t, train=train)
+    return flow, pressure
+
+  def flow_only(self, f1, f2, x, y, t, size=None, train=True):
+    return self.flownet(f1, f2, x, y, t, size=size, train=train)
+
+  def pressure_only(self, cascaded_flow, x, y, t, train=True):
+    return self.pressurenet(cascaded_flow, x, y, t, train=train)
+
+
+def pinn_step(ft: Array, u: Array, dt: float) -> Array:
+  """Density advection by the predicted flow (reference pinn.py:113-114)."""
+  return project(ft, u, dt)
+
+
+def equation_mse(apply_uvp: Callable, x: Array, y: Array, t: Array,
+                 Re: float) -> Array:
+  """Incompressible-NS residual loss (reference pinn.py:72-111).
+
+  ``apply_uvp(x, y, t) -> (u, v, p)`` must be a pure function of the
+  coordinate fields (closing over params, f1, f2).  Implements the exact
+  sum-then-grad semantics of the reference: each partial is
+  d(sum(field))/d(input field), per input pixel.
+  """
+
+  def u_sum(x_, y_, t_):
+    return jnp.sum(apply_uvp(x_, y_, t_)[0])
+
+  def v_sum(x_, y_, t_):
+    return jnp.sum(apply_uvp(x_, y_, t_)[1])
+
+  def p_sum(x_, y_):
+    return jnp.sum(apply_uvp(x_, y_, t)[2])
+
+  u, v, p = apply_uvp(x, y, t)
+
+  # First-order derivatives (reference pinn.py:84-86).
+  u_x, u_y, u_t = jax.grad(u_sum, argnums=(0, 1, 2))(x, y, t)
+  v_x, v_y, v_t = jax.grad(v_sum, argnums=(0, 1, 2))(x, y, t)
+  p_x, p_y = jax.grad(p_sum, argnums=(0, 1))(x, y)
+
+  # Second-order derivatives (reference pinn.py:89-92).
+  u_xx = jax.grad(lambda x_: jnp.sum(
+      jax.grad(u_sum, argnums=0)(x_, y, t)))(x)
+  u_yy = jax.grad(lambda y_: jnp.sum(
+      jax.grad(u_sum, argnums=1)(x, y_, t)))(y)
+  v_xx = jax.grad(lambda x_: jnp.sum(
+      jax.grad(v_sum, argnums=0)(x_, y, t)))(x)
+  v_yy = jax.grad(lambda y_: jnp.sum(
+      jax.grad(v_sum, argnums=1)(x, y_, t)))(y)
+
+  # t is (B,): broadcast the time partials over space (reference :95-96).
+  u_t = u_t[:, None, None, None]
+  v_t = v_t[:, None, None, None]
+
+  f_x = u_t + (u * u_x + v * u_y) + p_x - 1.0 / Re * (u_xx + u_yy)
+  f_y = v_t + (u * v_x + v * v_y) + p_y - 1.0 / Re * (v_xx + v_yy)
+  f_mass = u_x + v_y
+
+  return (jnp.mean(f_x ** 2) + jnp.mean(f_y ** 2) + jnp.mean(f_mass ** 2))
+
+
+def make_uvp_fn(model: PINN, params, f1, f2, size=None,
+                train: bool = False) -> Callable:
+  """Build the pure (x, y, t) -> (u, v, p) function for equation_mse."""
+
+  def apply_uvp(x, y, t):
+    flow, pres = model.apply({'params': params}, f1, f2, x, y, t,
+                             size=size, train=train)
+    fin = flow[-1]
+    return fin[..., 0:1], fin[..., 1:2], pres
+
+  return apply_uvp
+
+
+def equation_mse_from_outputs(model: PINN, params, f1, f2, x, y, t,
+                              Re: float, train: bool = False) -> Array:
+  """Convenience: residual loss recomputing the forward under grad
+  (matches reference get_pinn_step_fn usage, losses.py:345)."""
+  return equation_mse(make_uvp_fn(model, params, f1, f2, train=train),
+                      x, y, t, Re)

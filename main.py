@@ -14,6 +14,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# The session's PJRT plugin ('axon') force-prepends itself to jax_platforms
+# and ignores the JAX_PLATFORMS env var; honor the env var explicitly so
+# CPU-only runs don't contend for the single TPU.
+if os.environ.get("JAX_PLATFORMS"):
+  jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from absl import app
 from absl import flags
 from ml_collections.config_flags import config_flags

@@ -1,0 +1,60 @@
+"""Every shipped config must load and carry the reference schema fields."""
+
+import os
+
+import pytest
+
+import b_pinn_kalman_filter_tpu.configs as configs_pkg
+from b_pinn_kalman_filter_tpu import configs
+
+CONFIG_ROOT = os.path.dirname(configs_pkg.__file__)
+
+
+def _all_leaf_configs():
+  names = []
+  for root, dirs, files in os.walk(CONFIG_ROOT):
+    for f in files:
+      if not f.endswith('.py') or f.startswith('_') or 'default' in f \
+         or f == 'tpu_defaults.py':
+        continue
+      rel = os.path.relpath(os.path.join(root, f), CONFIG_ROOT)
+      names.append(rel[:-3].replace(os.sep, '/'))
+  return sorted(names)
+
+
+@pytest.mark.parametrize('name', _all_leaf_configs())
+def test_config_loads_with_schema(name):
+  config = configs.get_config(name)
+  # Core reference schema sections.
+  for section in ('training', 'data', 'model', 'optim'):
+    assert section in config, (name, section)
+  assert config.data.image_size > 0
+  assert 'tpu' in config  # TPU execution block present everywhere
+  if 'sde' in config.training:
+    assert config.training.sde in ('vpsde', 'subvpsde', 'vesde')
+  if 'inverse' in config:
+    assert config.inverse.operator in ('inpaint', 'inpaint_rnd')
+    if 'sampler' in config.inverse:   # pinn configs carry operator only
+      assert config.inverse.sampler in ('dps', 'controlled')
+
+
+def test_expected_config_inventory():
+  """The leaf-config set covers the reference families (SURVEY §2.2 P30)."""
+  names = set(_all_leaf_configs())
+  expected = {
+      'vp/cifar10_ddpmpp_continuous', 'vp/cifar10_ddpmpp',
+      'vp/cifar10_ddpmpp_deep_continuous', 'vp/cifar10_ncsnpp',
+      'vp/cifar10_ncsnpp_continuous', 'vp/cifar10_ncsnpp_deep_continuous',
+      'vp/nc_ddpmpp', 'vp/nc_chl_ddpmpp', 'vp/ddpm/cifar10',
+      've/cifar10_ncsnpp', 've/cifar10_ncsnpp_continuous',
+      've/cifar10_ncsnpp_deep_continuous', 've/celeba_ncsnpp',
+      've/ncsnv2/cifar10',
+      'subvp/cifar10_ddpmpp_continuous', 'subvp/cifar10_ncsnpp_continuous',
+      'subvp/cifar10_ddpmpp_deep_continuous',
+      'subvp/cifar10_ncsnpp_deep_continuous', 'subvp/cifar10_ddpm_continuous',
+      'inverse/nc_ddpmpp_inpaint', 'inverse/nc_ddpmpp_inpaint_dps',
+      'inverse/nc_ddpmpp_rndinpaint_dps',
+      'pinn/pinn_pde', 'pinn/pinn_nc',
+  }
+  missing = expected - names
+  assert not missing, missing

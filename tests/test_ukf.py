@@ -1,0 +1,173 @@
+"""UKF tests: patch round-trips, exactness vs linear Kalman filter
+(SURVEY §4e), NS dynamics shapes, PINN_KF smoke."""
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from b_pinn_kalman_filter_tpu.kalman import (
+    IdentityKFMeasure, NSDynamics, initialize_beliefs, merwe_weights, patch,
+    ukf_step, unpatch)
+from b_pinn_kalman_filter_tpu.kalman import ukf as ukf_core
+
+
+class TestPatching:
+
+  def test_roundtrip(self):
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 4)),
+                    jnp.float32)
+    p = patch(x, 4)
+    assert p.shape == (4 * 2 * 16, 16)
+    back = unpatch(p, 4, 16, 4)
+    np.testing.assert_allclose(back, x, rtol=1e-6)
+
+  def test_patch_ordering_channel_first(self):
+    """First quarter of the rows must be channel-0 patches."""
+    x = jnp.zeros((1, 8, 8, 4)).at[..., 0].set(7.0)
+    p = patch(x, 4)
+    N = p.shape[0]
+    np.testing.assert_allclose(p[:N // 4], 7.0)
+    np.testing.assert_allclose(p[N // 4:], 0.0)
+
+
+class TestUKFvsLinearKF:
+  """For linear-Gaussian dynamics the UKF must match the exact KF."""
+
+  def _run(self, n=4, steps=10, seed=0):
+    rng = np.random.default_rng(seed)
+    A = np.eye(n) * 0.9 + 0.05 * rng.standard_normal((n, n)).astype(np.float32)
+    Q = 0.01 * np.eye(n, dtype=np.float32)
+    R = 0.1 * np.eye(n, dtype=np.float32)
+
+    def dynamics_fn(states):
+      nxt = states @ jnp.asarray(A).T
+      sqrt_q = jnp.linalg.cholesky(jnp.asarray(Q))[None].repeat(
+          states.shape[0], axis=0)
+      return nxt, sqrt_q
+
+    def measurement_fn(states):
+      covar = jnp.asarray(R)[None].repeat(states.shape[0], axis=0)
+      return states, covar
+
+    w = merwe_weights(n, alpha=1.0, beta=0.0, kappa=0.0)
+    mean0 = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    cov0 = jnp.asarray(0.5 * np.eye(n), jnp.float32)[None].repeat(2, axis=0)
+    belief = initialize_beliefs(mean0, cov0)
+
+    # Exact KF reference.
+    kf_mean = np.asarray(mean0).copy()
+    kf_cov = np.asarray(cov0).copy()
+
+    observations = rng.standard_normal((steps, 2, n)).astype(np.float32)
+
+    for obs in observations:
+      belief = ukf_step(belief, jnp.asarray(obs), w, dynamics_fn,
+                        measurement_fn)
+      for b in range(2):
+        m = A @ kf_mean[b]
+        P = A @ kf_cov[b] @ A.T + Q
+        S = P + R
+        K = P @ np.linalg.inv(S)
+        kf_mean[b] = m + K @ (obs[b] - m)
+        kf_cov[b] = (np.eye(n) - K) @ P
+
+    return belief, kf_mean, kf_cov
+
+  def test_mean_matches_exact_kf(self):
+    belief, kf_mean, kf_cov = self._run()
+    np.testing.assert_allclose(np.asarray(belief.mean), kf_mean,
+                               rtol=1e-3, atol=1e-4)
+
+  def test_covariance_matches_exact_kf(self):
+    belief, kf_mean, kf_cov = self._run()
+    P_ukf = np.einsum('nij,nkj->nik', np.asarray(belief.sqrt_cov),
+                      np.asarray(belief.sqrt_cov))
+    np.testing.assert_allclose(P_ukf, kf_cov, rtol=1e-2, atol=1e-4)
+
+
+def _kf_config():
+  from b_pinn_kalman_filter_tpu.configs.pinn.pinn_pde import get_config
+  config = get_config()
+  config.data.image_size = 16
+  config.kf.patch_size = 4
+  config.model.feature_nums = [4, 8]
+  config.training.batch_size = 1
+  return config
+
+
+class TestNSDynamicsModel:
+
+  def test_shapes_and_finiteness(self):
+    config = _kf_config()
+    dyn = NSDynamics(config)
+    N = (16 // 4) ** 2 * 4
+    states = jnp.asarray(np.random.default_rng(0).random((N, 16)) * 0.1,
+                         jnp.float32)
+    nxt, sqrt_q = dyn(states)
+    assert nxt.shape == states.shape
+    assert sqrt_q.shape == (N, 16, 16)
+    assert np.isfinite(np.asarray(nxt)).all()
+
+  def test_identity_measure_covariances(self):
+    config = _kf_config()
+    meas = IdentityKFMeasure(config)
+    N = (16 // 4) ** 2 * 4
+    states = jnp.ones((N, 16))
+    obs, covar = meas(states)
+    np.testing.assert_allclose(obs, states)
+    assert covar.shape == (N, 16, 16)
+    # heteroscedastic path
+    uncer_flow = jnp.full((1, 16, 16, 2), 0.2)
+    uncer_pres = jnp.full((1, 16, 16, 1), 0.3)
+    meas.update_uncertainty(uncer_flow, uncer_pres)
+    obs, covar = meas(states)
+    q = N // 4
+    np.testing.assert_allclose(np.asarray(covar[0]),
+                               np.eye(16) * config.inverse.variance, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(covar[q]), np.eye(16) * 0.04,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(covar[3 * q]), np.eye(16) * 0.09,
+                               rtol=1e-5)
+
+
+class TestUKFEndToEnd:
+
+  def test_ukf_filters_noisy_ns_rollout(self):
+    """Full patch-UKF on a tiny NS field: filtered estimate must beat the
+    raw noisy observation."""
+    from b_pinn_kalman_filter_tpu.kalman.ukf_lib import UKF
+    from b_pinn_kalman_filter_tpu.ops import ns_step
+    from b_pinn_kalman_filter_tpu.kalman.dynamics import NS_DT, NS_DX
+
+    config = _kf_config()
+    rng = np.random.default_rng(0)
+    H = 16
+
+    # Ground-truth trajectory via the same dynamics.
+    f = jnp.asarray(rng.random((1, H, H)), jnp.float32)
+    u = jnp.asarray(0.1 * rng.standard_normal((1, H, H)), jnp.float32)
+    v = jnp.asarray(0.1 * rng.standard_normal((1, H, H)), jnp.float32)
+    p = jnp.zeros((1, H, H))
+
+    ukf = UKF(config)
+    state0 = jnp.stack([f[0], u[0], v[0], p[0]], axis=-1)[None]
+    ukf.initialize(patch(state0, 4), var=1e-4)
+
+    var = config.inverse.variance
+    errs_filt, errs_obs = [], []
+    key = jax.random.PRNGKey(0)
+    for step in range(3):
+      u, v = ns_step.update_velocity(u, v, p, NS_DT, NS_DX)
+      p = ns_step.update_pressure(u, v, p, NS_DT, NS_DX)
+      f = ns_step.update_density(f, u, v, NS_DT, NS_DX)
+      truth = jnp.stack([f[0], u[0], v[0], p[0]], axis=-1)[None]
+      key, nkey = jax.random.split(key)
+      obsv = truth + jax.random.normal(nkey, truth.shape) * var ** 0.5
+      pred = ukf(obsv)
+      errs_filt.append(float(jnp.mean((pred - truth) ** 2)))
+      errs_obs.append(float(jnp.mean((obsv - truth) ** 2)))
+
+    assert np.isfinite(errs_filt).all()
+    assert errs_filt[-1] < errs_obs[-1], (errs_filt, errs_obs)
