@@ -33,17 +33,19 @@ class DDPM(nn.Module):
     dropout = config.model.dropout
     resamp_with_conv = config.model.resamp_with_conv
     num_resolutions = len(ch_mult)
+    # MXU compute dtype (params stay float32; flax casts per-layer).
+    dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
 
     ResnetBlock = lambda out_ch=None: layers.ResnetBlockDDPM(
-        act=act, out_ch=out_ch, dropout=dropout)
+        act=act, out_ch=out_ch, dropout=dropout, dtype=dtype)
 
     if config.model.conditional:
       # Condition on noise levels (timestep embedding MLP).
       temb = layers.get_timestep_embedding(labels, nf)
       temb = nn.Dense(nf * 4, kernel_init=layers.default_init(),
-                      bias_init=nn.initializers.zeros)(temb)
+                      bias_init=nn.initializers.zeros, dtype=dtype)(temb)
       temb = nn.Dense(nf * 4, kernel_init=layers.default_init(),
-                      bias_init=nn.initializers.zeros)(act(temb))
+                      bias_init=nn.initializers.zeros, dtype=dtype)(act(temb))
     else:
       temb = None
 
@@ -51,22 +53,24 @@ class DDPM(nn.Module):
       h = x           # input already in [-1, 1]
     else:
       h = 2 * x - 1.  # rescale [0, 1] -> [-1, 1]
+    h = h.astype(dtype)
 
     # Downsampling path
-    hs = [layers.Conv3x3(nf)(h)]
+    hs = [layers.Conv3x3(nf, dtype=dtype)(h)]
     for i_level in range(num_resolutions):
       for i_block in range(num_res_blocks):
         h = ResnetBlock(nf * ch_mult[i_level])(hs[-1], temb, train)
         if h.shape[1] in attn_resolutions:
-          h = layers.AttnBlock()(h)
+          h = layers.AttnBlock(dtype=dtype)(h)
         hs.append(h)
       if i_level != num_resolutions - 1:
-        hs.append(layers.Downsample(with_conv=resamp_with_conv)(hs[-1]))
+        hs.append(layers.Downsample(with_conv=resamp_with_conv,
+                                    dtype=dtype)(hs[-1]))
 
     # Bottleneck
     h = hs[-1]
     h = ResnetBlock()(h, temb, train)
-    h = layers.AttnBlock()(h)
+    h = layers.AttnBlock(dtype=dtype)(h)
     h = ResnetBlock()(h, temb, train)
 
     # Upsampling path
@@ -75,12 +79,13 @@ class DDPM(nn.Module):
         h = ResnetBlock(nf * ch_mult[i_level])(
             jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
       if h.shape[1] in attn_resolutions:
-        h = layers.AttnBlock()(h)
+        h = layers.AttnBlock(dtype=dtype)(h)
       if i_level != 0:
-        h = layers.Upsample(with_conv=resamp_with_conv)(h)
+        h = layers.Upsample(with_conv=resamp_with_conv, dtype=dtype)(h)
 
     assert not hs
-    h = act(nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6)(h))
+    h = act(nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6)(
+        h.astype(jnp.float32)))
     h = layers.Conv3x3(config.data.num_channels, init_scale=0.)(h)
 
     if config.model.scale_by_sigma:

@@ -118,13 +118,14 @@ class NIN(nn.Module):
   """
   num_units: int
   init_scale: float = 0.1
+  dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x):
     in_dim = x.shape[-1]
     W = self.param('W', default_init(self.init_scale), (in_dim, self.num_units))
     b = self.param('b', nn.initializers.zeros, (self.num_units,))
-    return jnp.tensordot(x, W, axes=1) + b
+    return jnp.tensordot(x, W.astype(self.dtype), axes=1) + b.astype(self.dtype)
 
 
 class AttnBlock(nn.Module):
@@ -135,21 +136,23 @@ class AttnBlock(nn.Module):
   materializing a (B, H, W, H, W) tensor.
   """
   num_groups: int = 32
+  dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x):
     B, H, W, C = x.shape
-    h = nn.GroupNorm(num_groups=min(self.num_groups, C), epsilon=1e-6)(x)
-    q = NIN(C)(h).reshape(B, H * W, C)
-    k = NIN(C)(h).reshape(B, H * W, C)
-    v = NIN(C)(h).reshape(B, H * W, C)
+    h = nn.GroupNorm(num_groups=min(self.num_groups, C), epsilon=1e-6,
+                     dtype=self.dtype)(x)
+    q = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
+    k = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
+    v = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
 
     w = jnp.einsum('bqc,bkc->bqk', q, k,
                    preferred_element_type=jnp.float32) * (int(C) ** -0.5)
     w = jax.nn.softmax(w, axis=-1)
     h = jnp.einsum('bqk,bkc->bqc', w, v, preferred_element_type=jnp.float32)
-    h = h.reshape(B, H, W, C)
-    h = NIN(C, init_scale=0.)(h)
+    h = h.reshape(B, H, W, C).astype(self.dtype)
+    h = NIN(C, init_scale=0., dtype=self.dtype)(h)
     return x + h
 
 
@@ -171,18 +174,20 @@ def naive_downsample_2d(x: Array, factor: int = 2) -> Array:
 class Upsample(nn.Module):
   """Nearest x2 upsample, optional conv (reference layers.py:576-588)."""
   with_conv: bool = False
+  dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x):
     h = naive_upsample_2d(x, 2)
     if self.with_conv:
-      h = Conv3x3(x.shape[-1])(h)
+      h = Conv3x3(x.shape[-1], dtype=self.dtype)(h)
     return h
 
 
 class Downsample(nn.Module):
   """x2 downsample: stride-2 conv with (0,1) pad, or avg-pool (reference layers.py:591-608)."""
   with_conv: bool = False
+  dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x):
@@ -191,7 +196,7 @@ class Downsample(nn.Module):
       x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
       x = nn.Conv(C, (3, 3), strides=(2, 2), padding='VALID',
                   kernel_init=default_init(),
-                  bias_init=nn.initializers.zeros)(x)
+                  bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
     else:
       x = nn.avg_pool(x, (2, 2), strides=(2, 2))
     assert x.shape == (B, H // 2, W // 2, C)
@@ -204,22 +209,26 @@ class ResnetBlockDDPM(nn.Module):
   out_ch: Optional[int] = None
   conv_shortcut: bool = False
   dropout: float = 0.1
+  dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     B, H, W, C = x.shape
     out_ch = self.out_ch if self.out_ch is not None else C
-    h = self.act(nn.GroupNorm(num_groups=min(32, C), epsilon=1e-6)(x))
-    h = Conv3x3(out_ch)(h)
+    h = self.act(nn.GroupNorm(num_groups=min(32, C), epsilon=1e-6,
+                              dtype=self.dtype)(x))
+    h = Conv3x3(out_ch, dtype=self.dtype)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros)(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=min(32, out_ch), epsilon=1e-6)(h))
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype)(self.act(temb))[:, None, None, :]
+    h = self.act(nn.GroupNorm(num_groups=min(32, out_ch), epsilon=1e-6,
+                              dtype=self.dtype)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
-    h = Conv3x3(out_ch, init_scale=0.)(h)
+    h = Conv3x3(out_ch, init_scale=0., dtype=self.dtype)(h)
     if C != out_ch:
       if self.conv_shortcut:
-        x = Conv3x3(out_ch)(x)
+        x = Conv3x3(out_ch, dtype=self.dtype)(x)
       else:
-        x = NIN(out_ch)(x)
+        x = NIN(out_ch, dtype=self.dtype)(x)
     return x + h

@@ -19,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 A100_REFERENCE_IMGS_PER_SEC = 2.2  # torch reference, estimated (see docstring)
 
@@ -42,17 +43,22 @@ def main():
   sampling_fn = jax.jit(sampling.get_sampling_fn(
       config, sde, model, shape, inverse_scaler, eps))
 
-  # Compile + warmup.
-  samples, nfe = sampling_fn(jax.random.PRNGKey(1), params)
-  jax.block_until_ready(samples)
+  def fresh_key():
+    # Time-derived keys: the TPU tunnel backend memoizes repeated identical
+    # calls and its block_until_ready does not reliably synchronize; fresh
+    # inputs + full host readback give honest timings.
+    return jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31)
 
-  # Timed runs (block per call — async dispatch otherwise hides the work).
-  n_runs = 3
+  # Compile + warmup (readback forces completion).
+  samples, nfe = sampling_fn(fresh_key(), params)
+  np.asarray(samples)
+
+  n_runs = 2
   times = []
   for i in range(n_runs):
     t0 = time.perf_counter()
-    samples, nfe = sampling_fn(jax.random.PRNGKey(2 + i), params)
-    jax.block_until_ready(samples)
+    samples, nfe = sampling_fn(fresh_key(), params)
+    np.asarray(samples)
     times.append(time.perf_counter() - t0)
   dt = min(times)
 
