@@ -19,7 +19,7 @@ import flax.linen as nn
 from b_pinn_kalman_filter_tpu.models import layers
 from b_pinn_kalman_filter_tpu.models.layers_ncsn import ResidualBlock
 from b_pinn_kalman_filter_tpu.models.normalization import InstanceNorm2d
-from b_pinn_kalman_filter_tpu.ops.correlation import correlation
+from b_pinn_kalman_filter_tpu.ops.correlation_pallas import correlation_auto as correlation
 from b_pinn_kalman_filter_tpu.ops.grid_sample import (grid_sample_2d,
                                                       make_normalized_grid)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from b_pinn_kalman_filter_tpu.models.flownet import resize_bilinear
-from b_pinn_kalman_filter_tpu.ops.correlation import correlation
+from b_pinn_kalman_filter_tpu.ops.correlation_pallas import correlation_auto as correlation
 from b_pinn_kalman_filter_tpu.ops.grid_sample import (grid_sample_2d,
                                                       make_normalized_grid)
 

@@ -61,6 +61,33 @@ def get_data_axis_size(mesh: Mesh) -> int:
   return mesh.shape[DATA_AXIS]
 
 
+def fsdp_sharding_for(leaf, mesh: Mesh, min_size: int = 2 ** 16) -> NamedSharding:
+  """Sharding for one param leaf: largest dim divisible by the fsdp axis is
+  sharded; small or indivisible leaves replicate.
+
+  The reference has no model parallelism at all (DataParallel only,
+  SURVEY §2.3); this gives the rebuild a ZeRO-3-style option for models
+  that outgrow one chip's HBM.
+  """
+  n = mesh.shape[FSDP_AXIS]
+  if n <= 1 or leaf.size < min_size:
+    return NamedSharding(mesh, P())
+  dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+  for d in dims:
+    if leaf.shape[d] % n == 0:
+      spec = [None] * leaf.ndim
+      spec[d] = FSDP_AXIS
+      return NamedSharding(mesh, P(*spec))
+  return NamedSharding(mesh, P())
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, min_size: int = 2 ** 16) -> Any:
+  """Device-put a params pytree with large leaves sharded over 'fsdp'."""
+  return jax.tree_util.tree_map(
+      lambda p: jax.device_put(p, fsdp_sharding_for(p, mesh, min_size)),
+      params)
+
+
 def check_batch_divisible(config, mesh: Mesh):
   """Batch must divide the data axis (reference datasets.py:178-180 analog)."""
   n = get_data_axis_size(mesh)

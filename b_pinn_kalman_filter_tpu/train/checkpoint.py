@@ -42,6 +42,11 @@ def restore_checkpoint(path: str, state: Any, quiet: bool = False) -> Any:
   return _checkpointer().restore(path, abstract)
 
 
+def load_checkpoint(path: str, state: Any) -> Any:
+  """Alias with the reference's name (reference utils.py:98-106)."""
+  return restore_checkpoint(path, state)
+
+
 def latest_checkpoint_step(checkpoint_dir: str) -> Optional[int]:
   """Highest N among checkpoint_N under ``checkpoint_dir``."""
   if not os.path.isdir(checkpoint_dir):

@@ -170,3 +170,16 @@ class TestFusedAct:
     assert variables['params']['bias'].shape == (4,)
     out = m.apply(variables, x)
     assert out.shape == x.shape
+
+
+class TestCorrelationPallas:
+
+  def test_pallas_kernel_matches_xla(self):
+    from b_pinn_kalman_filter_tpu.ops.correlation import correlation
+    from b_pinn_kalman_filter_tpu.ops.correlation_pallas import correlation_pallas
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    a = correlation(f1, f2, 1)
+    b = correlation_pallas(f1, f2, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -94,3 +94,26 @@ def test_mesh_sharded_train_step():
   # Params must remain replicated after the update.
   leaf = jax.tree_util.tree_leaves(state.params)[0]
   assert leaf.sharding.is_fully_replicated
+
+
+def test_fsdp_sharded_train_step():
+  """dp x fsdp mesh: large params sharded over 'fsdp', step still correct."""
+  config = tiny_mlp_config()
+  config.tpu.mesh_shape = (2, 4)
+  mesh = mesh_lib.create_mesh(config)
+  assert mesh.shape == {'data': 2, 'fsdp': 4}
+
+  model, state, tx, sde = _setup(config)
+  # Shard params + ema + opt_state leaves over the fsdp axis.
+  state = state.replace(
+      params=mesh_lib.shard_params_fsdp(state.params, mesh, min_size=1024),
+      ema_params=mesh_lib.shard_params_fsdp(state.ema_params, mesh,
+                                            min_size=1024))
+  step_fn = jax.jit(losses.get_step_fn(sde, model, tx, train=True))
+  batch = np.random.default_rng(0).random((16, 8, 8, 1), np.float32)
+  sharded = mesh_lib.shard_batch(batch, mesh)
+  state2, loss = step_fn(jax.random.PRNGKey(0), state, sharded)
+  assert np.isfinite(float(loss))
+  # Large param leaves keep their fsdp sharding through the update.
+  big_leaf = max(jax.tree_util.tree_leaves(state2.params), key=lambda l: l.size)
+  assert not big_leaf.sharding.is_fully_replicated
