@@ -44,6 +44,47 @@ def get_data_inverse_scaler(config) -> Callable:
   return lambda x: x
 
 
+def load_images_from_folder(folder: str):
+  """Load all images in a folder as [0,1] float arrays
+  (reference datasets.py:27-34)."""
+  import imageio.v2 as imageio
+  images = []
+  for filename in sorted(os.listdir(folder)):
+    if filename.endswith(('.png', '.jpg', '.jpeg', '.gif', '.bmp')):
+      images.append(imageio.imread(os.path.join(folder, filename)) / 255.0)
+  return images
+
+
+def trim_images(images, ax, ay, bx, by):
+  """Crop a list of images (reference datasets.py:37-38)."""
+  return np.array([img[ax:bx, ay:by] for img in images])
+
+
+class Binarize:
+  """Threshold transform (reference datasets.py:41-51)."""
+
+  def __init__(self, threshold=0.5, invert=False):
+    self.threshold = threshold
+    self.invert = invert
+
+  def __call__(self, img):
+    img = np.asarray(img) > self.threshold
+    if self.invert:
+      img = ~img
+    return img.astype(np.float32)
+
+
+class Repeat:
+  """Batch-repeat transform (reference datasets.py:54-60)."""
+
+  def __init__(self, times):
+    self.times = times
+
+  def __call__(self, img):
+    img = np.asarray(img)
+    return np.broadcast_to(img, (self.times,) + img.shape).copy()
+
+
 class NumpyLoader:
   """Infinite shuffled batch iterator over an indexable dataset.
 

@@ -199,6 +199,15 @@ class InpaintOperator(LinearOperator):
     return A, pL, 1
 
 
+def bcmm(m: Array, v: Array) -> Array:
+  """Batched channelled matrix multiplication (reference operators.py:125-130):
+  m (B, C, M, N), v (B, C, M) -> (B, C, N)."""
+  B, C, M, N = m.shape
+  v_ = v.reshape(-1, 1, M)
+  m_ = m.reshape(-1, M, N)
+  return jnp.einsum('bim,bmn->bin', v_, m_).reshape(B, C, N)
+
+
 def observe(x, operator: LinearOperator, rng=None, sigma: float = 1.0):
   """Noisy observation y = A x + sigma n (reference operators.py:207-208)."""
   y = operator(x)

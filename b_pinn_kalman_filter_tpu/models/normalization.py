@@ -94,6 +94,90 @@ class InstanceNorm2dPlus(nn.Module):
     return gamma * h
 
 
+class ConditionalBatchNorm2d(nn.Module):
+  """Class-conditional batch norm (reference normalization.py:43-65).
+  Uses batch statistics (the reference's train-mode behavior)."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y):
+    C = x.shape[-1]
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    out = (x - mean) / jnp.sqrt(var + 1e-5)
+    if self.bias:
+      embed = nn.Embed(self.num_classes, C * 2,
+                       embedding_init=lambda k, s, d=None: jnp.concatenate(
+                           [jax.random.uniform(k, (s[0], C)),
+                            jnp.zeros((s[0], C))], axis=-1))
+      gamma, beta = jnp.split(embed(y), 2, axis=-1)
+      return gamma[:, None, None, :] * out + beta[:, None, None, :]
+    embed = nn.Embed(self.num_classes, C,
+                     embedding_init=lambda k, s, d=None:
+                     jax.random.uniform(k, s))
+    return embed(y)[:, None, None, :] * out
+
+
+class ConditionalInstanceNorm2d(nn.Module):
+  """Class-conditional instance norm (reference normalization.py:68-90)."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y):
+    C = x.shape[-1]
+    h = InstanceNorm2d()(x)
+    if self.bias:
+      embed = nn.Embed(self.num_classes, C * 2,
+                       embedding_init=lambda k, s, d=None: jnp.concatenate(
+                           [jax.random.uniform(k, (s[0], C)),
+                            jnp.zeros((s[0], C))], axis=-1))
+      gamma, beta = jnp.split(embed(y), 2, axis=-1)
+      return gamma[:, None, None, :] * h + beta[:, None, None, :]
+    embed = nn.Embed(self.num_classes, C,
+                     embedding_init=lambda k, s, d=None:
+                     jax.random.uniform(k, s))
+    return embed(y)[:, None, None, :] * h
+
+
+class ConditionalVarianceNorm2d(nn.Module):
+  """Class-conditional variance norm (reference normalization.py:93-107)."""
+  num_classes: int
+  bias: bool = False
+
+  @nn.compact
+  def __call__(self, x, y):
+    C = x.shape[-1]
+    embed = nn.Embed(self.num_classes, C,
+                     embedding_init=lambda k, s, d=None:
+                     1 + 0.02 * jax.random.normal(k, s))
+    vars_ = _unbiased_var(x, axis=(1, 2), keepdims=True)
+    h = x / jnp.sqrt(vars_ + 1e-5)
+    return embed(y)[:, None, None, :] * h
+
+
+class ConditionalNoneNorm2d(nn.Module):
+  """Affine-only conditional 'norm' (reference normalization.py:126-146)."""
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, y):
+    C = x.shape[-1]
+    if self.bias:
+      embed = nn.Embed(self.num_classes, C * 2,
+                       embedding_init=lambda k, s, d=None: jnp.concatenate(
+                           [jax.random.uniform(k, (s[0], C)),
+                            jnp.zeros((s[0], C))], axis=-1))
+      gamma, beta = jnp.split(embed(y), 2, axis=-1)
+      return gamma[:, None, None, :] * x + beta[:, None, None, :]
+    embed = nn.Embed(self.num_classes, C,
+                     embedding_init=lambda k, s, d=None:
+                     jax.random.uniform(k, s))
+    return embed(y)[:, None, None, :] * x
+
+
 class ConditionalInstanceNorm2dPlus(nn.Module):
   """Class-conditional InstanceNorm++ (reference normalization.py:186-215)."""
   num_classes: int

@@ -21,6 +21,18 @@ from b_pinn_kalman_filter_tpu.core.sde import batch_mul
 _MODELS = {}
 
 
+def to_flattened_numpy(x) -> np.ndarray:
+  """Flatten to a 1D numpy array (reference models/utils.py:181-183).
+  Only needed when bridging to host-side solvers; the framework's
+  integrators stay on-device."""
+  return np.asarray(x).reshape(-1)
+
+
+def from_flattened_numpy(x, shape) -> jnp.ndarray:
+  """Reshape a flat numpy array to a jnp array (reference models/utils.py:186-188)."""
+  return jnp.asarray(np.asarray(x).reshape(shape))
+
+
 def register_model(cls=None, *, name: Optional[str] = None):
   """Decorator registering a flax model class (reference models/utils.py:27)."""
 

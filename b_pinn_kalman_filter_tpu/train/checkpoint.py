@@ -61,6 +61,34 @@ def latest_checkpoint_step(checkpoint_dir: str) -> Optional[int]:
   return max(steps) if steps else None
 
 
+def restore_bpinn_checkpoint(pinn_ckpt_dir: str, meta_dir: str, bpinn_state,
+                             config):
+  """PINN -> B-PINN MOPED bootstrap restore (reference utils.py:62-92):
+  prefer the B-PINN meta checkpoint when present; otherwise build the MOPED
+  posterior from the deterministic PINN checkpoint."""
+  import jax
+
+  from b_pinn_kalman_filter_tpu.pinn import bayes
+
+  if os.path.exists(os.path.abspath(meta_dir)):
+    return restore_checkpoint(meta_dir, bpinn_state)
+  if pinn_ckpt_dir and os.path.exists(os.path.abspath(pinn_ckpt_dir)):
+    # The posterior mu tree has the PINN params' structure.
+    mu_template = {k: bpinn_state.params[k]['mu'] for k in bpinn_state.params}
+    from b_pinn_kalman_filter_tpu.pinn import losses as pinn_losses
+    from b_pinn_kalman_filter_tpu.train import state as state_lib
+    tx = pinn_losses.get_pinn_optimizer(config)
+    template = state_lib.create_train_state(mu_template, tx,
+                                            config.model.ema_rate)
+    restored = restore_checkpoint(pinn_ckpt_dir, template)
+    bparams = bayes.make_bpinn_params(restored.ema_params, config,
+                                      pretrained=True)
+    return bpinn_state.replace(
+        params=bparams,
+        ema_params=jax.tree_util.tree_map(lambda x: x, bparams))
+  return bpinn_state
+
+
 def get_ckptdir(workdir: str, name: str = 'checkpoints') -> str:
   path = os.path.join(workdir, name)
   os.makedirs(path, exist_ok=True)
