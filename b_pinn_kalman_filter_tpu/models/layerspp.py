@@ -23,8 +23,9 @@ NIN = layers.NIN
 default_init = layers.default_init
 
 
-def _gn(ch: int):
-  return nn.GroupNorm(num_groups=max(min(ch // 4, 32), 1), epsilon=1e-6)
+def _gn(ch: int, dtype=jnp.float32):
+  return nn.GroupNorm(num_groups=max(min(ch // 4, 32), 1), epsilon=1e-6,
+                      dtype=dtype)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -64,20 +65,21 @@ class AttnBlockpp(nn.Module):
   """Self-attention block, NCSN++ flavor (reference layerspp.py:62-91)."""
   skip_rescale: bool = False
   init_scale: float = 0.
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x):
     B, H, W, C = x.shape
-    h = _gn(C)(x)
-    q = NIN(C)(h).reshape(B, H * W, C)
-    k = NIN(C)(h).reshape(B, H * W, C)
-    v = NIN(C)(h).reshape(B, H * W, C)
+    h = _gn(C, self.dtype)(x)
+    q = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
+    k = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
+    v = NIN(C, dtype=self.dtype)(h).reshape(B, H * W, C)
     w = jnp.einsum('bqc,bkc->bqk', q, k,
                    preferred_element_type=jnp.float32) * (int(C) ** -0.5)
     w = jax.nn.softmax(w, axis=-1)
     h = jnp.einsum('bqk,bkc->bqc', w, v,
                    preferred_element_type=jnp.float32).reshape(B, H, W, C)
-    h = NIN(C, init_scale=self.init_scale)(h)
+    h = NIN(C, init_scale=self.init_scale, dtype=self.dtype)(h.astype(self.dtype))
     if not self.skip_rescale:
       return x + h
     return (x + h) / np.sqrt(2.)
@@ -145,24 +147,26 @@ class ResnetBlockDDPMpp(nn.Module):
   dropout: float = 0.1
   skip_rescale: bool = False
   init_scale: float = 0.
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     C = x.shape[-1]
     out_ch = self.out_ch if self.out_ch else C
-    h = self.act(_gn(C)(x))
-    h = Conv3x3(out_ch)(h)
+    h = self.act(_gn(C, self.dtype)(x))
+    h = Conv3x3(out_ch, dtype=self.dtype)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros)(self.act(temb))[:, None, None, :]
-    h = self.act(_gn(out_ch)(h))
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype)(self.act(temb))[:, None, None, :]
+    h = self.act(_gn(out_ch, self.dtype)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
-    h = Conv3x3(out_ch, init_scale=self.init_scale)(h)
+    h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
     if C != out_ch:
       if self.conv_shortcut:
-        x = Conv3x3(out_ch)(x)
+        x = Conv3x3(out_ch, dtype=self.dtype)(x)
       else:
-        x = NIN(out_ch)(x)
+        x = NIN(out_ch, dtype=self.dtype)(x)
     if not self.skip_rescale:
       return x + h
     return (x + h) / np.sqrt(2.)
@@ -180,12 +184,13 @@ class ResnetBlockBigGANpp(nn.Module):
   fir_kernel: Sequence[int] = (1, 3, 3, 1)
   skip_rescale: bool = True
   init_scale: float = 0.
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     C = x.shape[-1]
     out_ch = self.out_ch if self.out_ch else C
-    h = self.act(_gn(C)(x))
+    h = self.act(_gn(C, self.dtype)(x))
 
     if self.up:
       if self.fir:
@@ -202,16 +207,17 @@ class ResnetBlockBigGANpp(nn.Module):
         h = layers.naive_downsample_2d(h, 2)
         x = layers.naive_downsample_2d(x, 2)
 
-    h = Conv3x3(out_ch)(h)
+    h = Conv3x3(out_ch, dtype=self.dtype)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros)(self.act(temb))[:, None, None, :]
-    h = self.act(_gn(out_ch)(h))
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype)(self.act(temb))[:, None, None, :]
+    h = self.act(_gn(out_ch, self.dtype)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
-    h = Conv3x3(out_ch, init_scale=self.init_scale)(h)
+    h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
 
     if C != out_ch or self.up or self.down:
-      x = Conv1x1(out_ch)(x)
+      x = Conv1x1(out_ch, dtype=self.dtype)(x)
 
     if not self.skip_rescale:
       return x + h

@@ -47,10 +47,13 @@ class NCSNpp(nn.Module):
     assert progressive_input in ['none', 'input_skip', 'residual']
     assert embedding_type in ['fourier', 'positional']
     combine_method = config.model.progressive_combine.lower()
+    # MXU compute dtype (params stay float32).
+    dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
 
     AttnBlock = functools.partial(layerspp.AttnBlockpp,
                                   init_scale=init_scale,
-                                  skip_rescale=skip_rescale)
+                                  skip_rescale=skip_rescale,
+                                  dtype=dtype)
     Upsample = functools.partial(layerspp.Upsample, with_conv=resamp_with_conv,
                                  fir=fir, fir_kernel=fir_kernel)
     Downsample = functools.partial(layerspp.Downsample,
@@ -59,12 +62,12 @@ class NCSNpp(nn.Module):
     if resblock_type == 'ddpm':
       ResnetBlock = functools.partial(
           layerspp.ResnetBlockDDPMpp, act=act, dropout=dropout,
-          init_scale=init_scale, skip_rescale=skip_rescale)
+          init_scale=init_scale, skip_rescale=skip_rescale, dtype=dtype)
     elif resblock_type == 'biggan':
       ResnetBlock = functools.partial(
           layerspp.ResnetBlockBigGANpp, act=act, dropout=dropout,
           fir=fir, fir_kernel=fir_kernel, init_scale=init_scale,
-          skip_rescale=skip_rescale)
+          skip_rescale=skip_rescale, dtype=dtype)
     else:
       raise ValueError(f'resblock type {resblock_type} unrecognized.')
 
@@ -84,14 +87,15 @@ class NCSNpp(nn.Module):
 
     if conditional:
       temb = nn.Dense(nf * 4, kernel_init=layers.default_init(),
-                      bias_init=nn.initializers.zeros)(temb)
+                      bias_init=nn.initializers.zeros, dtype=dtype)(temb)
       temb = nn.Dense(nf * 4, kernel_init=layers.default_init(),
-                      bias_init=nn.initializers.zeros)(act(temb))
+                      bias_init=nn.initializers.zeros, dtype=dtype)(act(temb))
     else:
       temb = None
 
     if not config.data.centered:
       x = 2 * x - 1.   # input in [0, 1] -> [-1, 1]
+    x = x.astype(dtype)
 
     # --- downsampling path ---
     input_pyramid = x if progressive_input != 'none' else None
@@ -179,9 +183,10 @@ class NCSNpp(nn.Module):
     if progressive == 'output_skip':
       h = pyramid
     else:
-      h = act(layerspp._gn(h.shape[-1])(h))
+      h = act(layerspp._gn(h.shape[-1])(h.astype(jnp.float32)))
       h = layers.Conv3x3(config.data.num_channels, init_scale=init_scale)(h)
 
+    h = h.astype(jnp.float32)
     if config.model.scale_by_sigma:
       h = h / used_sigmas[:, None, None, None]
     return h

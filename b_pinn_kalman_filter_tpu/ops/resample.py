@@ -60,6 +60,7 @@ def upsample_conv_2d(x: Array, w: Array, k: Optional[Sequence] = None,
   assert isinstance(factor, int) and factor >= 1
   convH, convW, inC, outC = w.shape
   assert convW == convH
+  w = w.astype(x.dtype)
   if k is None:
     k = [1] * factor
   k = setup_kernel(k) * (gain * (factor ** 2))
@@ -82,6 +83,7 @@ def conv_downsample_2d(x: Array, w: Array, k: Optional[Sequence] = None,
   assert isinstance(factor, int) and factor >= 1
   convH, convW, inC, outC = w.shape
   assert convW == convH
+  w = w.astype(x.dtype)
   if k is None:
     k = [1] * factor
   k = setup_kernel(k) * gain
@@ -116,9 +118,9 @@ class Conv2d(nn.Module):
       x = conv_downsample_2d(x, w, k=self.resample_kernel)
     else:
       x = jax.lax.conv_general_dilated(
-          x, w, window_strides=(1, 1), padding='SAME',
+          x, w.astype(x.dtype), window_strides=(1, 1), padding='SAME',
           dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     if self.use_bias:
       b = self.param('bias', nn.initializers.zeros, (self.out_ch,))
-      x = x + b
+      x = x + b.astype(x.dtype)
     return x
