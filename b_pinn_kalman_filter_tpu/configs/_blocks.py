@@ -29,6 +29,94 @@ def ddpmpp_model(model):
   return model
 
 
+def ncsn_model(model):
+  """NCSNv1 ('ncsn') model block shared by the ve/ncsn/* anneal-schedule
+  configs (as in reference ve/ncsn/cifar10.py)."""
+  model.name = 'ncsn'
+  model.scale_by_sigma = False
+  model.normalization = 'InstanceNorm++'
+  model.nonlinearity = 'elu'
+  model.nf = 128
+  model.interpolation = 'bilinear'
+  return model
+
+
+def ncsn_optim(optim):
+  """Optimizer block shared by the ve/ncsn/* configs (lr 1e-3, no warmup or
+  clipping; as in reference ve/ncsn/cifar10.py)."""
+  optim.weight_decay = 0
+  optim.optimizer = 'Adam'
+  optim.lr = 1e-3
+  optim.beta1 = 0.9
+  optim.amsgrad = False
+  optim.eps = 1e-8
+  optim.warmup = 0
+  optim.grad_clip = -1.
+  return optim
+
+
+def ncsnpp_highres_model(model):
+  """High-resolution NCSN++ block: 7-level pyramid with progressive
+  input/output skips (as in reference ve/bedroom_ncsnpp_continuous.py)."""
+  model.name = 'ncsnpp'
+  model.scale_by_sigma = True
+  model.ema_rate = 0.999
+  model.normalization = 'GroupNorm'
+  model.nonlinearity = 'swish'
+  model.nf = 128
+  model.ch_mult = (1, 1, 2, 2, 2, 2, 2)
+  model.num_res_blocks = 2
+  model.attn_resolutions = (16,)
+  model.resamp_with_conv = True
+  model.conditional = True
+  model.fir = True
+  model.fir_kernel = [1, 3, 3, 1]
+  model.skip_rescale = True
+  model.resblock_type = 'biggan'
+  model.progressive = 'output_skip'
+  model.progressive_input = 'input_skip'
+  model.progressive_combine = 'sum'
+  model.attention_type = 'ddpm'
+  model.init_scale = 0.
+  model.fourier_scale = 16
+  model.conv_size = 3
+  return model
+
+
+def ddpm_highres_model(model):
+  """Discrete DDPM block for 256^2 LSUN-family data: 6-level pyramid
+  (as in reference vp/ddpm/bedroom.py)."""
+  model.name = 'ddpm'
+  model.scale_by_sigma = False
+  model.num_scales = 1000
+  model.ema_rate = 0.9999
+  model.normalization = 'GroupNorm'
+  model.nonlinearity = 'swish'
+  model.nf = 128
+  model.ch_mult = (1, 1, 2, 2, 4, 4)
+  model.num_res_blocks = 2
+  model.attn_resolutions = (16,)
+  model.resamp_with_conv = True
+  model.conditional = True
+  return model
+
+
+def ddpm_cifar_model(model):
+  """Discrete DDPM block for CIFAR-10 (as in reference vp/ddpm/cifar10.py)."""
+  model.name = 'ddpm'
+  model.scale_by_sigma = False
+  model.ema_rate = 0.9999
+  model.normalization = 'GroupNorm'
+  model.nonlinearity = 'swish'
+  model.nf = 128
+  model.ch_mult = (1, 2, 2, 2)
+  model.num_res_blocks = 2
+  model.attn_resolutions = (16,)
+  model.resamp_with_conv = True
+  model.conditional = True
+  return model
+
+
 def ncsnpp_model(model):
   """NCSN++ model block (as in reference ve/cifar10_ncsnpp_continuous.py)."""
   model.name = 'ncsnpp'

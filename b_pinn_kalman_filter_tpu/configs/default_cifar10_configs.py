@@ -37,6 +37,8 @@ def get_default_configs():
   evaluate.enable_loss = True
   evaluate.enable_bpd = False
   evaluate.bpd_dataset = 'test'
+  # Poll for checkpoints during eval (reference run_lib.py:309-325 semantics).
+  evaluate.wait_for_ckpt = False
 
   # data
   config.data = data = ml_collections.ConfigDict()

@@ -34,6 +34,8 @@ def get_default_configs():
   evaluate.enable_loss = True
   evaluate.enable_bpd = False
   evaluate.bpd_dataset = 'test'
+  # Poll for checkpoints during eval (reference run_lib.py:309-325 semantics).
+  evaluate.wait_for_ckpt = False
 
   config.data = data = ml_collections.ConfigDict()
   data.dataset = 'LSUN'

@@ -1,0 +1,25 @@
+"""NCSN++ on FFHQ 256x256, continuous VE
+(reference: configs/ve/ffhq_256_ncsnpp_continuous.py)."""
+
+from b_pinn_kalman_filter_tpu.configs._blocks import ncsnpp_highres_model
+from b_pinn_kalman_filter_tpu.configs.default_lsun_configs import get_default_configs
+
+
+def get_config():
+  config = get_default_configs()
+  training = config.training
+  training.sde = 'vesde'
+  training.continuous = True
+
+  sampling = config.sampling
+  sampling.method = 'pc'
+  sampling.predictor = 'reverse_diffusion'
+  sampling.corrector = 'langevin'
+
+  data = config.data
+  data.dataset = 'FFHQ'
+  data.image_size = 256
+
+  ncsnpp_highres_model(config.model)
+  config.model.sigma_max = 348
+  return config

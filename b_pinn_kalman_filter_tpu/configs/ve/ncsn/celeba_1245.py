@@ -1,0 +1,25 @@
+"""NCSN with techniques 1,2,4,5 on CelebA (reference: configs/ve/ncsn/celeba_1245.py)."""
+
+from b_pinn_kalman_filter_tpu.configs._blocks import ncsn_model, ncsn_optim
+from b_pinn_kalman_filter_tpu.configs.default_celeba_configs import get_default_configs
+
+
+def get_config():
+  config = get_default_configs()
+  training = config.training
+  training.sde = 'vesde'
+  training.continuous = False
+
+  sampling = config.sampling
+  sampling.method = 'pc'
+  sampling.predictor = 'none'
+  sampling.corrector = 'ald'
+  sampling.n_steps_each = 5
+  sampling.snr = 0.128
+
+  ncsn_model(config.model)
+  config.model.num_scales = 500
+  config.model.ema_rate = 0.999
+
+  ncsn_optim(config.optim)
+  return config

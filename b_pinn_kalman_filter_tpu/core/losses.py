@@ -46,11 +46,12 @@ def get_optimizer(config, lr_mul: float = 1.0,
   if config.optim.grad_clip >= 0:
     chain.append(optax.clip_by_global_norm(config.optim.grad_clip))
   if decay > 0:
-    chain.append(optax.adamw(schedule, b1=config.optim.beta1, b2=0.999,
-                             eps=config.optim.eps, weight_decay=decay))
-  else:
-    chain.append(optax.adam(schedule, b1=config.optim.beta1, b2=0.999,
-                            eps=config.optim.eps))
+    # torch Adam's weight_decay is *coupled* L2: decay*param is added to the
+    # gradient before the moment updates (not AdamW's decoupled decay), so
+    # place add_decayed_weights before the adam transform.
+    chain.append(optax.add_decayed_weights(decay))
+  chain.append(optax.adam(schedule, b1=config.optim.beta1, b2=0.999,
+                          eps=config.optim.eps))
   return optax.chain(*chain)
 
 

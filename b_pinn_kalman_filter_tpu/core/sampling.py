@@ -123,9 +123,14 @@ def none_predictor(rng, x, t, sde, score_fn, probability_flow=False):
 # ---------------------------------------------------------------------------
 
 def _corrector_alpha(sde, t):
+  """alpha = sde.alphas[timestep] for VP *and* subVP, per upstream score_sde.
+
+  (The fork deleted subVPSDE.alphas so its own subVP corrector path would
+  crash; we restore the upstream step-size semantics instead.)
+  """
   if isinstance(sde, (sde_lib.VPSDE, sde_lib.subVPSDE)):
     timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
-    return sde.alphas[timestep] if isinstance(sde, sde_lib.VPSDE) else jnp.ones_like(t)
+    return sde.alphas[timestep]
   return jnp.ones_like(t)
 
 
@@ -177,16 +182,34 @@ def none_corrector(rng, x, t, sde, score_fn, snr, n_steps):
 # Samplers
 # ---------------------------------------------------------------------------
 
-def get_sampling_fn(config, sde, model, shape, inverse_scaler, eps) -> Callable:
+def _constrain(x, sharding):
+  """Batch-shard an internally created array over the mesh's data axis.
+
+  The prior sample is born inside the jitted sampler; without a constraint
+  XLA may replicate the whole 1000-step scan on every chip.  A single
+  ``with_sharding_constraint`` here propagates batch sharding through the
+  entire program (the U-Net is batch-parallel; the only collectives are the
+  corrector's norm means)."""
+  if sharding is None:
+    return x
+  return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def get_sampling_fn(config, sde, model, shape, inverse_scaler, eps,
+                    sharding=None) -> Callable:
   """Build a sampling function from config (reference sampling.py:80-123).
 
-  Returns ``sampling_fn(rng, params) -> (samples, nfe)``.
+  Returns ``sampling_fn(rng, params) -> (samples, nfe)``.  ``sharding``
+  (a NamedSharding over the mesh data axis) batch-shards the sampler for
+  multi-chip execution — the TPU replacement for the reference's
+  DataParallel scatter (SURVEY §2.3).
   """
   sampler_name = config.sampling.method
   if sampler_name.lower() == 'ode':
     return get_ode_sampler(sde=sde, model=model, shape=shape,
                            inverse_scaler=inverse_scaler,
-                           denoise=config.sampling.noise_removal, eps=eps)
+                           denoise=config.sampling.noise_removal, eps=eps,
+                           sharding=sharding)
   elif sampler_name.lower() == 'pc':
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())
@@ -197,7 +220,8 @@ def get_sampling_fn(config, sde, model, shape, inverse_scaler, eps) -> Callable:
                           n_steps=config.sampling.n_steps_each,
                           probability_flow=config.sampling.probability_flow,
                           continuous=config.training.continuous,
-                          denoise=config.sampling.noise_removal, eps=eps)
+                          denoise=config.sampling.noise_removal, eps=eps,
+                          sharding=sharding)
   else:
     raise ValueError(f"Sampler name {sampler_name} unknown.")
 
@@ -206,7 +230,8 @@ def get_pc_sampler_from_score(sde, shape, predictor, corrector, inverse_scaler,
                               snr, n_steps: int = 1,
                               probability_flow: bool = False,
                               denoise: bool = True,
-                              eps: float = 1e-3) -> Callable:
+                              eps: float = 1e-3,
+                              sharding=None) -> Callable:
   """PC sampler taking an explicit score function: ``fn(rng, score_fn)``.
 
   The model-facing wrapper is :func:`get_pc_sampler`; this core also serves
@@ -215,7 +240,7 @@ def get_pc_sampler_from_score(sde, shape, predictor, corrector, inverse_scaler,
 
   def pc_sampler(rng, score_fn):
     rng, prior_rng = jax.random.split(rng)
-    x0 = sde.prior_sampling(prior_rng, shape)
+    x0 = _constrain(sde.prior_sampling(prior_rng, shape), sharding)
     timesteps = jnp.linspace(sde.T, eps, sde.N)
 
     def step(carry, inp):
@@ -237,13 +262,13 @@ def get_pc_sampler_from_score(sde, shape, predictor, corrector, inverse_scaler,
 def get_pc_sampler(sde, model, shape, predictor, corrector, inverse_scaler,
                    snr, n_steps: int = 1, probability_flow: bool = False,
                    continuous: bool = False, denoise: bool = True,
-                   eps: float = 1e-3) -> Callable:
+                   eps: float = 1e-3, sharding=None) -> Callable:
   """Predictor–Corrector sampler as one scanned XLA program
   (reference sampling.py:355-411).  ``fn(rng, params) -> (samples, nfe)``."""
   core = get_pc_sampler_from_score(
       sde, shape, predictor, corrector, inverse_scaler, snr,
       n_steps=n_steps, probability_flow=probability_flow,
-      denoise=denoise, eps=eps)
+      denoise=denoise, eps=eps, sharding=sharding)
 
   def pc_sampler(rng, params):
     score_fn = mutils.get_score_fn(sde, model, params, train=False,
@@ -255,7 +280,8 @@ def get_pc_sampler(sde, model, shape, predictor, corrector, inverse_scaler,
 
 def get_ode_sampler(sde, model, shape, inverse_scaler, denoise: bool = False,
                     rtol: float = 1e-5, atol: float = 1e-5,
-                    eps: float = 1e-3, n_fixed_steps: Optional[int] = None) -> Callable:
+                    eps: float = 1e-3, n_fixed_steps: Optional[int] = None,
+                    sharding=None) -> Callable:
   """Probability-flow ODE sampler, fully on-device
   (reference sampling.py:414-485; scipy bridge removed)."""
 
@@ -275,6 +301,7 @@ def get_ode_sampler(sde, model, shape, inverse_scaler, denoise: bool = False,
 
     rng, prior_rng, den_rng = jax.random.split(rng, 3)
     x = sde.prior_sampling(prior_rng, shape) if z is None else z
+    x = _constrain(x, sharding)
 
     def ode_func(t, x):
       vec_t = jnp.full((shape[0],), t)

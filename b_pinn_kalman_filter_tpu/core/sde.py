@@ -182,6 +182,11 @@ class subVPSDE(SDE):
     super().__init__(N)
     self.beta_0 = float(beta_min)
     self.beta_1 = float(beta_max)
+    # Discrete alphas for the Langevin/ALD corrector step-size, matching the
+    # upstream score_sde subVPSDE (the fork deleted these, which would crash
+    # its own subVP-PC path; we restore upstream semantics).
+    alphas = 1.0 - np.linspace(beta_min / N, beta_max / N, N, dtype=np.float64)
+    self.alphas = jnp.asarray(alphas, jnp.float32)
 
   @property
   def T(self) -> float:

@@ -347,8 +347,22 @@ def get_dataset(config, uniform_dequantization: bool = False,
   elif name == 'CELEBA':
     train_ds, test_ds = _torchvision_or_synthetic(
         'CELEBA', size, config.data.num_channels, config.seed)
-  elif name in ('FFHQ', 'CelebAHQ', 'LSUN'):
-    raise NotImplementedError(f'Dataset {name} has no local source in this build.')
+  elif name == 'LSUN':
+    # Reference datasets.py:221-236: torchvision LSUN(classes=[category])
+    # with resize_small+central_crop (128) / central_crop (otherwise).  No
+    # LMDB files ship here, so the synthetic stand-in pattern applies; the
+    # category is folded into the seed so bedroom/church differ.
+    import zlib
+    cat = str(getattr(config.data, 'category', 'bedroom'))
+    cat_seed = config.seed + zlib.crc32(cat.encode()) % 997
+    train_ds, test_ds = _torchvision_or_synthetic(
+        'LSUN', size, config.data.num_channels, cat_seed)
+  elif name in ('FFHQ', 'CelebAHQ'):
+    # The reference *raises* for these ("no built-in from pytorch",
+    # datasets.py:236-237).  Divergence: a synthetic stand-in (same pattern
+    # as CIFAR) so the celebahq/ffhq NCSN++ configs are trainable here.
+    train_ds, test_ds = _torchvision_or_synthetic(
+        name, size, config.data.num_channels, config.seed)
   elif name in ('NC', 'NC_P'):
     path = (f'/data1/DATA_PUBLIC/Southern_Ocean/'
             f'bsose_i122_{config.data.date_range}_{config.data.category}.nc')

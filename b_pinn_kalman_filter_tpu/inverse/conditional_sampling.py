@@ -47,21 +47,28 @@ def _solve(config, ode_func, x0, t1, eps):
   raise NotImplementedError(f'solver {solver} unknown')
 
 
+def _constrain(x, sharding):
+  if sharding is None:
+    return x
+  return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def get_sampler(config, obsv_sde: OBSVSDE, shape,
                 lambda_schedule: Callable = lambda t: (1.0 - t) * 0.8,
-                eps: float = 1e-3):
+                eps: float = 1e-3, sharding=None):
   """Sampler factory (reference conditional_sampling.py:33-41).
-  Returns ``fn(rng, model, params, z=None) -> samples``."""
+  Returns ``fn(rng, model, params, z=None) -> samples``.  ``sharding``
+  batch-shards the posterior sampling over the mesh data axis."""
   if config.inverse.sampler == 'controlled':
     return get_controlled_sampler(config, obsv_sde, shape, lambda_schedule,
-                                  eps=eps)
+                                  eps=eps, sharding=sharding)
   elif config.inverse.sampler == 'dps':
-    return get_dps_sampler(config, obsv_sde, shape, eps=eps)
+    return get_dps_sampler(config, obsv_sde, shape, eps=eps, sharding=sharding)
   raise NotImplementedError
 
 
 def get_controlled_sampler(config, obsv_sde: OBSVSDE, shape, lambda_schedule,
-                           eps: float = 1e-3):
+                           eps: float = 1e-3, sharding=None):
   """Projection-controlled probability-flow sampler
   (reference conditional_sampling.py:43-97).
 
@@ -77,6 +84,7 @@ def get_controlled_sampler(config, obsv_sde: OBSVSDE, shape, lambda_schedule,
     rsde = obsv_sde.state_sde.reverse(score_fn, probability_flow=True)
     rng, prior_rng, z_rng = jax.random.split(rng, 3)
     x = obsv_sde.state_sde.prior_sampling(prior_rng, shape) if z is None else z
+    x = _constrain(x, sharding)
 
     op = obsv_sde.operator
     assert isinstance(op, InpaintOperator), \
@@ -104,7 +112,8 @@ def get_controlled_sampler(config, obsv_sde: OBSVSDE, shape, lambda_schedule,
   return controlled_sampler
 
 
-def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3):
+def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3,
+                    sharding=None):
   """Diffusion posterior sampling (reference conditional_sampling.py:100-169)."""
   obsv_var = config.inverse.variance
 
@@ -113,6 +122,7 @@ def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3):
                                    train=False, continuous=True)
     rng, prior_rng, obs_rng = jax.random.split(rng, 3)
     x = obsv_sde.state_sde.prior_sampling(prior_rng, shape) if z is None else z
+    x = _constrain(x, sharding)
     obs_noise = (jax.random.normal(obs_rng, jnp.shape(obsv_sde.y0))
                  * obsv_var ** 0.5)
     # Noise lives only in live observation rows (the reference's compacted

@@ -14,14 +14,15 @@ from b_pinn_kalman_filter_tpu.data import get_dataset
 from b_pinn_kalman_filter_tpu.inverse.conditional_sampling import get_sampler
 from b_pinn_kalman_filter_tpu.inverse.obsv_sde import get_obsvsde
 from b_pinn_kalman_filter_tpu.inverse.operators import get_operator
+from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
 from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
 from b_pinn_kalman_filter_tpu.train import state as state_lib
 from b_pinn_kalman_filter_tpu.utils.misc import save_image_grid
 
 
-def _inverse_fn(config, model, params, rng):
+def _inverse_fn(config, model, params, rng, mesh=None):
   """Observe a test batch and sample the posterior
-  (reference inverse_lib.py:36-52)."""
+  (reference inverse_lib.py:36-52); batch-sharded over the mesh data axis."""
   sampling_shape = (config.training.batch_size,
                     config.data.image_size, config.data.image_size,
                     config.data.num_channels)
@@ -35,8 +36,14 @@ def _inverse_fn(config, model, params, rng):
   observation_vis = operator(origin, keep_shape=True)
   observation = operator(origin, keep_shape=False)   # ill-posed (B, C, N)
 
+  sharding = None
+  if mesh is not None:
+    sharding = mesh_lib.data_sharding(mesh)
+    observation = jax.device_put(np.asarray(observation), sharding)
+
   obsvsde, sampling_eps = get_obsvsde(config, observation, operator)
-  sampling_fn = get_sampler(config, obsvsde, sampling_shape, eps=sampling_eps)
+  sampling_fn = get_sampler(config, obsvsde, sampling_shape, eps=sampling_eps,
+                            sharding=sharding)
 
   sample = sampling_fn(rng, model, params)
   return origin, observation_vis, sample, operator
@@ -44,6 +51,7 @@ def _inverse_fn(config, model, params, rng):
 
 def inverse(config, ckptdir, workdir):
   """CLI inverse mode (reference inverse_lib.py:54-78)."""
+  mesh = mesh_lib.create_mesh(config)
   rng = jax.random.PRNGKey(config.seed)
   rng, init_rng = jax.random.split(rng)
   model, variables = mutils.init_model(init_rng, config)
@@ -52,10 +60,11 @@ def inverse(config, ckptdir, workdir):
                                        config.model.ema_rate)
   if ckptdir:
     state = ckpt_lib.restore_checkpoint(ckptdir, state)
+  state = mesh_lib.replicate(state, mesh)
 
   rng, sample_rng = jax.random.split(rng)
   origin, observation, sample, operator = _inverse_fn(
-      config, model, state.ema_params, sample_rng)
+      config, model, state.ema_params, sample_rng, mesh=mesh)
 
   outdir = os.path.join(
       workdir, f"{config.inverse.operator}-{config.inverse.ratio}")

@@ -7,9 +7,11 @@ rebuilt from scratch per SURVEY §7.8).
 * Predict: true square-root form — the predicted sqrt-covariance comes from
   a QR factorization of the weighted sigma deviations stacked with sqrt(Q),
   PSD by construction.
-* Update: Joseph-form covariance update (PSD-preserving in f32), then
-  re-factorized.  Validated against the exact linear Kalman filter
-  (tests/test_ukf.py).
+* Update: true square-root measurement update — one batched QR of
+  ``[sqrt(wc_i)(dx_i - K dz_i); (K sqrt R)^T]``, PSD by construction with
+  no covariance subtraction (stays PSD in f32 at the reference's 256-dim
+  patch states).  Validated against the exact linear Kalman filter and a
+  100-step n=256 f32 stress run (tests/test_ukf.py).
 * Dynamics couple all N filters (patches form one image through the NS
   stepper), so sigma propagation is vmapped over the sigma-point axis with
   the full (N, n) state per point.
@@ -64,14 +66,14 @@ def sigma_points(belief: UKFBelief, w: MerweWeights) -> Array:
   return jnp.concatenate([belief.mean[None], plus, minus], axis=0)
 
 
-def _qr_sqrt(deviations: Array, sqrt_noise: Array) -> Array:
-  """Sqrt covariance from weighted deviations + noise sqrt via QR.
+def _qr_sqrt(deviations: Array, extra_rows: Array) -> Array:
+  """Sqrt covariance from weighted deviation rows + extra rows via QR.
 
-  deviations: (N, m, n) rows; sqrt_noise: (N, n, n).  Returns (N, n, n)
-  lower-triangular.
+  deviations: (N, s, n) rows; extra_rows: (N, k, n) (e.g. ``sqrt(Q)^T`` in
+  predict, ``(K sqrt(R))^T`` in the update).  Returns (N, n, n)
+  lower-triangular with nonnegative diagonal.
   """
-  stacked = jnp.concatenate([deviations, sqrt_noise.transpose(0, 2, 1)],
-                            axis=1)              # (N, m+n, n)
+  stacked = jnp.concatenate([deviations, extra_rows], axis=1)  # (N, s+k, n)
   r = jnp.linalg.qr(stacked, mode='r')           # (N, n, n) upper
   # Canonicalize sign so the diagonal is nonnegative, return lower-tri.
   sign = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
@@ -105,15 +107,28 @@ def predict(belief: UKFBelief, w: MerweWeights,
   # All wc >= 0 for alpha=1,beta=0,kappa=0 (wc0 = 0); QR over sqrt-weighted rows.
   dev_rows = (jnp.sqrt(jnp.maximum(wc, 0.0))[:, None, None] * dev)
   dev_rows = dev_rows.transpose(1, 0, 2)         # (N, S, n)
-  sqrt_cov = _qr_sqrt(dev_rows, sqrt_q)
+  sqrt_cov = _qr_sqrt(dev_rows, sqrt_q.transpose(0, 2, 1))
   return UKFBelief(mean=mean, sqrt_cov=sqrt_cov), Xp
 
 
 def update(belief: UKFBelief, Xp: Array, w: MerweWeights, observation: Array,
            measurement_fn: Callable[[Array], Tuple[Array, Array]]) -> UKFBelief:
-  """UKF measurement update (Joseph form).
+  """True square-root UKF measurement update.
 
   ``measurement_fn(states (N, n)) -> (pred_obs (N, m), R (N, m, m))``.
+
+  The posterior sqrt-covariance comes from one batched QR of the stacked
+  rows ``[sqrt(wc_i) (dx_i - K dz_i); (K sqrt(R))^T]`` — PSD by
+  construction, with NO covariance subtraction (the textbook
+  ``P = P_pred - K Pzz K^T`` that standard UKFs re-factorize can go
+  indefinite in f32 at the reference's 256-dim patch states; see
+  tests/test_ukf.py n=256 stress test).  Algebra: since the redrawn sigma
+  points reconstruct P_pred exactly,
+  ``sum_i wc_i (dx_i - K dz_i)(.)^T + K R K^T
+  = P_pred - K Pxz^T - Pxz K^T + K Pzz K^T = P_pred - K Pzz K^T``.
+  Negative wc_0 (alpha != 1) is clamped to zero in the sqrt rows, matching
+  the predict-step convention; the reference's Merwe parameters
+  (alpha=1, beta=0, kappa=0 — reference ukf.py:20-23) give wc_0 = 0 exactly.
   """
   wm = jnp.asarray(w.wm, Xp.dtype)
   wc = jnp.asarray(w.wc, Xp.dtype)
@@ -136,14 +151,13 @@ def update(belief: UKFBelief, Xp: Array, w: MerweWeights, observation: Array,
   innov = observation - z_mean
   mean = belief.mean + jnp.einsum('ndm,nm->nd', K, innov)
 
-  # Joseph form on the full covariance (identity H is implicit in the
-  # sigma-point formulation): P = P_pred - K Pzz K^T.
-  P_pred = jnp.einsum('nij,nkj->nik', belief.sqrt_cov, belief.sqrt_cov)
-  P = P_pred - jnp.einsum('ndm,nmk,nlk->ndl', K, Pzz, K)
-  # Symmetrize + jitter for f32 safety before refactorization.
-  P = 0.5 * (P + P.transpose(0, 2, 1))
-  P = P + 1e-9 * jnp.eye(P.shape[-1], dtype=P.dtype)[None]
-  return UKFBelief(mean=mean, sqrt_cov=jnp.linalg.cholesky(P))
+  # Square-root posterior via one batched QR (see docstring).
+  resid = dx - jnp.einsum('ndm,snm->snd', K, dz)       # (S, N, n)
+  rows = (jnp.sqrt(jnp.maximum(wc, 0.0))[:, None, None] * resid)
+  rows = rows.transpose(1, 0, 2)                       # (N, S, n)
+  sqrt_R = jnp.linalg.cholesky(R)
+  k_sqrtR_T = jnp.einsum('ndm,nmk->nkd', K, sqrt_R)    # (N, m, n)
+  return UKFBelief(mean=mean, sqrt_cov=_qr_sqrt(rows, k_sqrtR_T))
 
 
 def ukf_step(belief: UKFBelief, observation: Array, w: MerweWeights,

@@ -36,7 +36,13 @@ class DDPM(nn.Module):
     # MXU compute dtype (params stay float32; flax casts per-layer).
     dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
 
-    ResnetBlock = lambda out_ch=None: layers.ResnetBlockDDPM(
+    # config.tpu.remat: jax.checkpoint each resblock — activations are
+    # recomputed in the backward pass, trading FLOPs for HBM (needed by the
+    # deep / 256^2 configs).
+    block_cls = layers.ResnetBlockDDPM
+    if 'tpu' in config and config.tpu.get('remat', False):
+      block_cls = layers.remat_block(layers.ResnetBlockDDPM)
+    ResnetBlock = lambda out_ch=None: block_cls(
         act=act, out_ch=out_ch, dropout=dropout, dtype=dtype)
 
     if config.model.conditional:

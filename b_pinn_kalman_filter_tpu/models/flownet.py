@@ -247,11 +247,16 @@ class PressureNet(nn.Module):
     channels = list(config.model.feature_nums)
     flow_feature_nums = 32
 
+    # One shared flow-feature module across all pyramid levels, matching the
+    # reference's single self.flow_feature = get_double_res(3, 32)
+    # (reference models/flownet.py:243,296,308).
+    flow_feature_mod = DoubleRes(flow_feature_nums)
+
     def norm_feature(flow):
       flow = jax.lax.stop_gradient(flow)   # reference .detach().clone()
       flow_norm = -jnp.sum(flow ** 2, axis=-1, keepdims=True)
       block = jnp.concatenate([flow, flow_norm], axis=-1)
-      return DoubleRes(flow_feature_nums)(block)
+      return flow_feature_mod(block)
 
     semb = layers.get_spatial_embedding(
         x, y, omega=config.model.spatial_embed_omega,

@@ -26,6 +26,24 @@ Array = jax.Array
 Dtype = Any
 
 
+def remat_block(cls, static_argnums=(3,)):
+  """``nn.remat`` a block class without changing its flax scope names.
+
+  ``nn.remat`` renames the wrapped class ``Checkpoint<Name>``, which changes
+  auto-generated parameter paths (``ResnetBlockDDPM_0`` →
+  ``CheckpointResnetBlockDDPM_0``) and would make checkpoints written with
+  ``tpu.remat`` toggled incompatible.  Restoring ``__name__`` keeps the
+  param tree identical either way.
+  """
+  wrapped = nn.remat(cls, static_argnums=static_argnums)
+  wrapped.__name__ = cls.__name__
+  try:
+    wrapped.__qualname__ = cls.__qualname__
+  except (AttributeError, TypeError):
+    pass
+  return wrapped
+
+
 def get_act(config) -> Callable[[Array], Array]:
   """Activation from config (reference models/layers.py:29-41)."""
   name = config.model.nonlinearity.lower()

@@ -59,13 +59,18 @@ class NCSNpp(nn.Module):
     Downsample = functools.partial(layerspp.Downsample,
                                    with_conv=resamp_with_conv,
                                    fir=fir, fir_kernel=fir_kernel)
+    # config.tpu.remat: jax.checkpoint each resblock — activations are
+    # recomputed in the backward pass, trading FLOPs for HBM (needed by the
+    # deep / 256^2 configs).
+    remat = 'tpu' in config and config.tpu.get('remat', False)
+    maybe_remat = layers.remat_block if remat else (lambda cls: cls)
     if resblock_type == 'ddpm':
       ResnetBlock = functools.partial(
-          layerspp.ResnetBlockDDPMpp, act=act, dropout=dropout,
+          maybe_remat(layerspp.ResnetBlockDDPMpp), act=act, dropout=dropout,
           init_scale=init_scale, skip_rescale=skip_rescale, dtype=dtype)
     elif resblock_type == 'biggan':
       ResnetBlock = functools.partial(
-          layerspp.ResnetBlockBigGANpp, act=act, dropout=dropout,
+          maybe_remat(layerspp.ResnetBlockBigGANpp), act=act, dropout=dropout,
           fir=fir, fir_kernel=fir_kernel, init_scale=init_scale,
           skip_rescale=skip_rescale, dtype=dtype)
     else:

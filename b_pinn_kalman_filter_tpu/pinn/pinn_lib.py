@@ -16,6 +16,7 @@ import numpy as np
 from absl import logging
 
 from b_pinn_kalman_filter_tpu.data import get_dataset, get_mask_dataset
+from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
 from b_pinn_kalman_filter_tpu.pinn import bayes, losses as pinn_losses
 from b_pinn_kalman_filter_tpu.pinn.pinn import PINN
 from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
@@ -35,10 +36,14 @@ def _summary_writer(tb_dir):
     return _Null()
 
 
-def unbatch(batch):
-  """(f1, f2, x, y, t, target) host arrays -> jnp float32 tuple
-  (reference pinn_lib.py:17-24; requires_grad becomes implicit in jax.grad)."""
-  return tuple(jnp.asarray(np.asarray(b), jnp.float32) for b in batch)
+def unbatch(batch, mesh=None):
+  """(f1, f2, x, y, t, target) host arrays -> float32 tuple, batch-sharded
+  over the mesh data axis when given (reference pinn_lib.py:17-24;
+  requires_grad becomes implicit in jax.grad)."""
+  arrays = tuple(np.asarray(b, np.float32) for b in batch)
+  if mesh is not None:
+    return mesh_lib.shard_batch(arrays, mesh)
+  return tuple(jnp.asarray(a) for a in arrays)
 
 
 def init_pinn(config, rng):
@@ -59,14 +64,16 @@ def init_pinn(config, rng):
 
 def _run_phase(config, model, state, step_fn_pair, mask_it, train_iter,
                eval_iter, writer, start_step, end_step, ckpt_dirs, tag,
-               rng):
+               rng, mesh=None):
   train_step_fn, eval_step_fn = step_fn_pair
   checkpoint_dir, checkpoint_meta_dir = ckpt_dirs
   is_main = jax.process_index() == 0
 
   for step in range(start_step, end_step + 1):
-    batch = unbatch(next(train_iter))
+    batch = unbatch(next(train_iter), mesh)
     mask = jnp.asarray(mask_it.next())
+    if mesh is not None:
+      mask = mesh_lib.replicate(mask, mesh)
     rng, step_rng = jax.random.split(rng)
     state, (loss, l_a, l_b) = train_step_fn(step_rng, state, mask, batch)
 
@@ -77,7 +84,7 @@ def _run_phase(config, model, state, step_fn_pair, mask_it, train_iter,
       writer.add_scalar(f"training_{tag}_loss_b", float(l_b), step)
 
     if step % config.training.eval_freq == 0:
-      eval_batch = unbatch(next(eval_iter))
+      eval_batch = unbatch(next(eval_iter), mesh)
       rng, eval_rng = jax.random.split(rng)
       _, (eloss, e_a, e_b) = eval_step_fn(eval_rng, state, mask, eval_batch)
       if is_main:
@@ -100,11 +107,14 @@ def _run_phase(config, model, state, step_fn_pair, mask_it, train_iter,
 
 
 def train(config, workdir: str):
-  """Two-phase PINN training (reference pinn_lib.py:26-178)."""
+  """Two-phase PINN training (reference pinn_lib.py:26-178), batch-sharded
+  over the mesh data axis (SURVEY §2.3)."""
   tb_dir = os.path.join(workdir, "tensorboard")
   os.makedirs(tb_dir, exist_ok=True)
   writer = _summary_writer(tb_dir)
 
+  mesh = mesh_lib.create_mesh(config)
+  mesh_lib.check_batch_divisible(config, mesh)
   rng = jax.random.PRNGKey(config.seed)
   rng, init_rng = jax.random.split(rng)
   model, variables = init_pinn(config, init_rng)
@@ -125,6 +135,7 @@ def train(config, workdir: str):
                                        config.model.ema_rate)
   state = ckpt_lib.restore_checkpoint(checkpoint_meta_dir, state, quiet=True)
   initial_step = int(state.step)
+  state = mesh_lib.replicate(state, mesh)
 
   step_fns = (
       jax.jit(pinn_losses.get_prelim_step_fn(config, model, tx1, train=True),
@@ -134,7 +145,8 @@ def train(config, workdir: str):
   state, rng = _run_phase(config, model, state, step_fns, mask_it,
                           train_iter, eval_iter, writer, initial_step,
                           config.training.n_iters,
-                          (checkpoint_dir, checkpoint_meta_dir), 'prelim', rng)
+                          (checkpoint_dir, checkpoint_meta_dir), 'prelim', rng,
+                          mesh=mesh)
 
   # --- Phase 2: PINN regularization (fresh EMA/opt; pres LR x 0.005) ---
   tx2 = pinn_losses.get_pinn_optimizer(config, lr_mul_pres=0.005)
@@ -144,6 +156,7 @@ def train(config, workdir: str):
   meta_pinn = os.path.join(workdir, "checkpoints-meta", "checkpoint_pinn")
   state2 = ckpt_lib.restore_checkpoint(meta_pinn, state2, quiet=True)
   initial_step = int(state2.step)
+  state2 = mesh_lib.replicate(state2, mesh)
 
   step_fns2 = (
       jax.jit(pinn_losses.get_pinn_step_fn(config, model, tx2, train=True),
@@ -154,7 +167,7 @@ def train(config, workdir: str):
   state2, rng = _run_phase(config, model, state2, step_fns2, mask_it,
                            train_iter, eval_iter, writer, initial_step,
                            config.training.n_iters + config.training.n_pinn_iters,
-                           (checkpoint_dir, meta_pinn), 'pinn', rng)
+                           (checkpoint_dir, meta_pinn), 'pinn', rng, mesh=mesh)
   return state2
 
 
@@ -164,6 +177,7 @@ def train_bpinn(config, workdir: str, ckpt_dir: Optional[str]):
   tb_dir = os.path.join(workdir, "tensorboard")
   os.makedirs(tb_dir, exist_ok=True)
   writer = _summary_writer(tb_dir)
+  mesh = mesh_lib.create_mesh(config)
 
   rng = jax.random.PRNGKey(config.seed + 7)
   rng, init_rng = jax.random.split(rng)
@@ -191,6 +205,7 @@ def train_bpinn(config, workdir: str, ckpt_dir: Optional[str]):
   os.makedirs(os.path.dirname(checkpoint_meta_dir), exist_ok=True)
   state = ckpt_lib.restore_checkpoint(checkpoint_meta_dir, state, quiet=True)
   initial_step = int(state.step)
+  state = mesh_lib.replicate(state, mesh)
 
   mask_it = get_mask_dataset(config)
   train_ds, eval_ds = get_dataset(
@@ -205,5 +220,6 @@ def train_bpinn(config, workdir: str, ckpt_dir: Optional[str]):
   state, rng = _run_phase(config, model, state, step_fns, mask_it,
                           train_iter, eval_iter, writer, initial_step,
                           config.training.n_bpinn_iters,
-                          (checkpoint_dir, checkpoint_meta_dir), 'bpinn', rng)
+                          (checkpoint_dir, checkpoint_meta_dir), 'bpinn', rng,
+                          mesh=mesh)
   return state

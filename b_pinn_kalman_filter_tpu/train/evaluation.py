@@ -122,11 +122,64 @@ def make_random_feature_fn(rng: Array, image_shape: Tuple[int, int, int],
 def get_inception_model(config=None, inceptionv3: bool = False) -> Callable:
   """Feature model factory (reference evaluation.py:29-38, stubbed there).
 
-  Tries a real pretrained extractor; falls back to the frozen
-  random-feature CNN (documented proxy)."""
+  Loads the real InceptionV3 (train/inception.py) when weights are present
+  on disk ($BPKF_INCEPTION_WEIGHTS / $BPKF_DATA_DIR/inception_v3.*);
+  otherwise returns the frozen random-feature CNN proxy.  Use
+  ``get_feature_extractor`` to also receive the source label.
+  """
+  return get_feature_extractor(config)[0]
+
+
+def get_feature_extractor(config=None) -> Tuple[Callable, str]:
+  """Returns ``(feature_fn, source)`` with source in
+  {'inception_v3', 'random_proxy'}.
+
+  feature_fn(images (B,H,W,C) in [0,1]) -> (pool feats, logits).  Metrics
+  computed with 'random_proxy' features are self-consistent across runs
+  (fixed seed) but NOT comparable to published Inception-based FID/IS.
+  """
+  from b_pinn_kalman_filter_tpu.train import inception
+  params = inception.load_inception_params()
+  if params is not None:
+    return inception.make_inception_feature_fn(params), 'inception_v3'
+  import logging
+  logging.getLogger(__name__).warning(
+      'No InceptionV3 weights found; FID/KID/IS use RANDOM-FEATURE PROXY '
+      'values (not comparable to published Inception metrics).')
   shape = ((config.data.image_size, config.data.image_size,
             config.data.num_channels) if config is not None else (32, 32, 3))
-  return make_random_feature_fn(jax.random.PRNGKey(2023), shape)
+  return make_random_feature_fn(jax.random.PRNGKey(2023), shape), 'random_proxy'
+
+
+def load_dataset_stats(config, eval_ds, feature_fn: Callable, source: str,
+                       stats_dir: str, max_images: int = 2048,
+                       scaler: Optional[Callable] = None) -> np.ndarray:
+  """Reference-set features, cached on disk (reference evaluation.py:40 —
+  ``load_dataset_stats`` reads precomputed inception stats; here they are
+  computed once from the eval split and cached)."""
+  import os
+  os.makedirs(stats_dir, exist_ok=True)
+  tag = (f"{config.data.dataset}_{config.data.image_size}"
+         f"_{config.data.num_channels}_{source}")
+  cache = os.path.join(stats_dir, f'dataset_feats_{tag}.npz')
+  if os.path.exists(cache):
+    return np.load(cache)['feats']
+  images = []
+  count = 0
+  for item in iter(eval_ds):
+    batch = item[0] if isinstance(item, tuple) else item
+    images.append(np.asarray(batch, np.float32))
+    count += len(images[-1])
+    if count >= max_images:
+      break
+  images = np.concatenate(images)[:max_images]
+  pools = []
+  for i in range(0, len(images), 128):
+    p, _ = feature_fn(jnp.asarray(images[i:i + 128]))
+    pools.append(np.asarray(p))
+  feats = np.concatenate(pools)
+  np.savez_compressed(cache, feats=feats)
+  return feats
 
 
 def compute_metrics(feature_fn: Callable, samples: np.ndarray,

@@ -24,6 +24,7 @@ from b_pinn_kalman_filter_tpu.data import (get_data_inverse_scaler,
                                            get_data_scaler, get_dataset)
 from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
 from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
+from b_pinn_kalman_filter_tpu.train import evaluation
 from b_pinn_kalman_filter_tpu.train import state as state_lib
 from b_pinn_kalman_filter_tpu.utils.misc import save_image_grid
 
@@ -92,7 +93,8 @@ def train(config, workdir: str):
                       config.data.image_size, config.data.image_size,
                       config.data.num_channels)
     sampling_fn = jax.jit(sampling.get_sampling_fn(
-        config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+        config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
+        sharding=mesh_lib.data_sharding(mesh)))
 
   num_train_steps = config.training.n_iters
   logging.info("Starting training loop at step %d.", initial_step)
@@ -149,6 +151,7 @@ def _next_batch(it, scaler, mesh):
 
 def sample(config, ckptdir: str, workdir: str):
   """Sample from a trained checkpoint (reference run_lib.py:188-214)."""
+  mesh = mesh_lib.create_mesh(config)
   rng = jax.random.PRNGKey(config.seed)
   rng, init_rng = jax.random.split(rng)
   model, variables = mutils.init_model(init_rng, config)
@@ -156,6 +159,7 @@ def sample(config, ckptdir: str, workdir: str):
   state = state_lib.create_train_state(variables['params'], tx,
                                        config.model.ema_rate)
   state = ckpt_lib.restore_checkpoint(ckptdir, state)
+  state = mesh_lib.replicate(state, mesh)
 
   inverse_scaler = get_data_inverse_scaler(config)
   sde, sampling_eps = sde_lib.get_sde(config)
@@ -163,7 +167,8 @@ def sample(config, ckptdir: str, workdir: str):
                     config.data.image_size, config.data.image_size,
                     config.data.num_channels)
   sampling_fn = jax.jit(sampling.get_sampling_fn(
-      config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+      config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
+      sharding=mesh_lib.data_sharding(mesh)))
   rng, sample_rng = jax.random.split(rng)
   samples, n = sampling_fn(sample_rng, state.ema_params)
 
@@ -172,9 +177,34 @@ def sample(config, ckptdir: str, workdir: str):
   return samples, n
 
 
+def _wait_and_restore(ckpt_path: str, template, wait: bool,
+                      poll_seconds: float = 60.0, retries: int = 3):
+  """Restore a checkpoint, optionally waiting for it to appear and retrying
+  corrupt reads with backoff (reference run_lib.py:309-325).
+
+  Returns the restored state, or None when the checkpoint is absent and
+  ``wait`` is False (standalone-eval skip semantics).
+  """
+  while not os.path.exists(ckpt_path):
+    if not wait:
+      return None
+    logging.warning("Waiting for checkpoint at %s ...", ckpt_path)
+    time.sleep(poll_seconds)
+  for attempt in range(retries + 1):
+    try:
+      return ckpt_lib.restore_checkpoint(ckpt_path, template)
+    except Exception as exc:  # corrupt / partially-written checkpoint
+      if attempt == retries:
+        raise
+      backoff = poll_seconds * (attempt + 1) if wait else 2.0 * (attempt + 1)
+      logging.warning("Failed to read %s (%s); retrying in %.0fs",
+                      ckpt_path, exc, backoff)
+      time.sleep(backoff)
+
+
 def evaluate(config, workdir: str, eval_folder: str = "eval"):
-  """Evaluate trained checkpoints: loss, bpd, and sample dumps
-  (reference run_lib.py:217-452; FID/IS wiring lives in evaluation.py)."""
+  """Evaluate trained checkpoints: loss, bpd, samples + FID/KID/IS
+  (reference run_lib.py:217-452 + evaluation.py)."""
   eval_dir = os.path.join(workdir, eval_folder)
   os.makedirs(eval_dir, exist_ok=True)
 
@@ -209,18 +239,29 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
                       config.data.image_size, config.data.image_size,
                       config.data.num_channels)
     sampling_fn = jax.jit(sampling.get_sampling_fn(
-        config, sde, model, sampling_shape, inverse_scaler, sampling_eps))
+        config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
+        sharding=mesh_lib.data_sharding(mesh)))
+
+  if config.eval.enable_sampling:
+    # Feature extractor + cached reference-set features for FID/KID/IS
+    # (reference evaluation.py:29-56 get_inception_model/load_dataset_stats).
+    feature_fn, feature_source = evaluation.get_feature_extractor(config)
+    ref_feats = evaluation.load_dataset_stats(
+        config, eval_ds, feature_fn, feature_source,
+        stats_dir=os.path.join(eval_dir, "assets"))
+
+  # config.eval.wait_for_ckpt: poll for checkpoints like the reference
+  # (train-alongside-eval workflow); default False keeps standalone eval.
+  wait_for_ckpt = bool(config.eval.get('wait_for_ckpt', False))
 
   checkpoint_dir = os.path.join(workdir, "checkpoints")
   results = {}
   for ckpt in range(config.eval.begin_ckpt, config.eval.end_ckpt + 1):
     ckpt_path = os.path.join(checkpoint_dir, f'checkpoint_{ckpt}')
-    if not os.path.exists(ckpt_path):
-      # The reference waits for checkpoints to appear (run_lib.py:309-313);
-      # here missing checkpoints are skipped so eval can run standalone.
+    state = _wait_and_restore(ckpt_path, template, wait_for_ckpt)
+    if state is None:
       logging.warning("checkpoint_%d not found; skipping", ckpt)
       continue
-    state = ckpt_lib.restore_checkpoint(ckpt_path, template)
     state = mesh_lib.replicate(state, mesh)
 
     if config.eval.enable_loss:
@@ -256,12 +297,40 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
       num_rounds = config.eval.num_samples // config.eval.batch_size + 1
       this_sample_dir = os.path.join(eval_dir, f"ckpt_{ckpt}")
       os.makedirs(this_sample_dir, exist_ok=True)
+      sample_pools, sample_logits = [], []
       for r in range(num_rounds):
         rng, sample_rng = jax.random.split(rng)
         samples, n = sampling_fn(sample_rng, state.ema_params)
-        samples = np.clip(np.asarray(samples) * 255., 0, 255).astype(np.uint8)
+        samples01 = np.clip(np.asarray(samples), 0., 1.)
+        samples = (samples01 * 255.).astype(np.uint8)
         np.savez_compressed(
             os.path.join(this_sample_dir, f"samples_{r}.npz"), samples=samples)
+        # Per-round feature extraction (reference run_lib.py:386-404 streams
+        # inception stats per sample batch).
+        pool, logit = feature_fn(jnp.asarray(samples01, jnp.float32))
+        sample_pools.append(np.asarray(pool))
+        sample_logits.append(np.asarray(logit))
         logging.info("sampling -- ckpt: %d, round: %d", ckpt, r)
+
+      # FID/KID/IS assembly (reference run_lib.py:406-452, there commented
+      # out; implemented here per SURVEY §7.9).
+      sample_pools = np.concatenate(sample_pools)
+      sample_logits = np.concatenate(sample_logits)
+      metrics = {
+          'fid': evaluation.frechet_distance(sample_pools, ref_feats),
+          'kid': evaluation.kernel_distance(sample_pools, ref_feats),
+          'inception_score': evaluation.inception_score(sample_logits),
+      }
+      logging.info(
+          "ckpt-%d --- FID: %.6e, KID: %.6e, Inception score: %.6e "
+          "(features: %s)", ckpt, metrics['fid'], metrics['kid'],
+          metrics['inception_score'], feature_source)
+      np.savez_compressed(
+          os.path.join(eval_dir, f"report_{ckpt}.npz"),
+          fid=metrics['fid'], kid=metrics['kid'],
+          IS=metrics['inception_score'], feature_source=feature_source)
+      for k, v in metrics.items():
+        results[f'ckpt_{ckpt}_{k}'] = float(v)
+      results['feature_source'] = feature_source
 
   return results

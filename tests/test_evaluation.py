@@ -52,3 +52,51 @@ def test_compute_metrics_pipeline():
   assert diff['fid'] > same['fid']
   assert np.isfinite(diff['kid'])
   assert np.isfinite(diff['inception_score'])
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (train/inception.py)
+# ---------------------------------------------------------------------------
+
+def test_inception_forward_shapes():
+  import jax
+  import jax.numpy as jnp
+
+  from b_pinn_kalman_filter_tpu.train import inception
+
+  params = inception.random_inception_params(jax.random.PRNGKey(0))
+  imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+  pool, logits = inception.inception_forward(params, imgs)
+  assert pool.shape == (2, inception.FEATURE_DIM)
+  assert logits.shape == (2, inception.NUM_LOGITS)
+  assert np.isfinite(np.asarray(pool)).all()
+  # Grayscale inputs broadcast to 3 channels.
+  gray = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 1))
+  pool_g, _ = inception.inception_forward(params, gray)
+  assert pool_g.shape == (2, inception.FEATURE_DIM)
+
+
+def test_inception_params_npz_roundtrip(tmp_path):
+  import jax
+
+  from b_pinn_kalman_filter_tpu.train import inception
+
+  params = inception.random_inception_params(jax.random.PRNGKey(0))
+  path = str(tmp_path / "w.npz")
+  inception.save_params_npz(params, path)
+  loaded = inception.load_params_npz(path)
+  assert set(loaded) == set(params)
+  for k in params:
+    np.testing.assert_array_equal(params[k][0], loaded[k][0])
+  # load_inception_params finds it via explicit path.
+  assert inception.load_inception_params(path) is not None
+
+
+def test_get_feature_extractor_labels_proxy():
+  from b_pinn_kalman_filter_tpu.train import evaluation as ev
+
+  fn, source = ev.get_feature_extractor(None)
+  assert source in ('inception_v3', 'random_proxy')
+  import jax.numpy as jnp
+  pool, logits = fn(jnp.zeros((2, 32, 32, 3)))
+  assert pool.shape[0] == 2 and logits.shape[0] == 2

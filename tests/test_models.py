@@ -108,3 +108,36 @@ def test_registry_has_all_reference_models():
   for name in ['ddpm', 'ncsnpp', 'ncsnv2_64', 'ncsn', 'ncsnv2_128',
                'ncsnv2_256']:
     assert name in _MODELS, f'{name} missing from registry'
+
+
+class TestRemat:
+  """config.tpu.remat wraps resblocks in jax.checkpoint (VERDICT Weak #2)."""
+
+  def _remat_matches(self, config, labels):
+    config.tpu.remat = False
+    model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+    B = 2
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (B, config.data.image_size, config.data.image_size,
+         config.data.num_channels))
+    base = model.apply(variables, x, labels, train=False)
+
+    config.tpu.remat = True
+    model_r, _ = mutils.init_model(jax.random.PRNGKey(0), config)
+    rematted = model_r.apply(variables, x, labels, train=False)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(rematted),
+                               rtol=1e-5, atol=1e-5)
+
+    # Gradients must flow through the checkpointed blocks.
+    def loss(params):
+      return jnp.sum(model_r.apply(params, x, labels, train=False) ** 2)
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+  def test_ddpm_remat(self):
+    self._remat_matches(tiny_ddpm_config(), jnp.asarray([0.5, 1.0]))
+
+  def test_ncsnpp_remat(self):
+    self._remat_matches(tiny_ncsnpp_config(), jnp.asarray([1.0, 5.0]))
