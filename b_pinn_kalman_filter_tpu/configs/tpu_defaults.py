@@ -18,6 +18,12 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
   tpu.compute_dtype = 'bfloat16'  # MXU-native matmul/conv dtype
   tpu.param_dtype = 'float32'
   tpu.remat = False               # jax.checkpoint the U-Net stages
+  # Winograd F(2x2,3x3) for stride-1 3x3 convs (ops/winograd.py): same
+  # convolution, 2.25x fewer MXU multiplies.  Off by default: measured
+  # end-to-end on TPU v5e the transform overhead loses to XLA's direct
+  # conv (12.2 vs 9.3 ms/step on the DDPM++ sampler; the kernel only wins
+  # in isolation at 16x16/256ch, see BASELINE.md).
+  tpu.winograd = False
   tpu.donate_state = True
   config.device = 'tpu'
   return config

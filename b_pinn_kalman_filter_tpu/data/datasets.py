@@ -88,30 +88,102 @@ class Repeat:
 class NumpyLoader:
   """Infinite shuffled batch iterator over an indexable dataset.
 
-  Replaces torch ``DataLoader(shuffle=True, drop_last=True)``
+  Replaces torch ``DataLoader(shuffle=True, drop_last=True, num_workers=4)``
   (reference datasets.py:273-275).  ``__iter__`` yields batches forever
-  (epoch reshuffles) unless ``num_epochs`` is set.
+  (epoch reshuffles) unless ``num_epochs`` is set.  ``num_workers`` > 1
+  fetches the items of each batch through a thread pool (the analog of the
+  reference's 4 DataLoader workers); order within the batch is preserved,
+  so batches are bit-identical to the serial path.
   """
 
   def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-               seed: int = 0, num_epochs: Optional[int] = None):
+               seed: int = 0, num_epochs: Optional[int] = None,
+               num_workers: int = 1):
     self.dataset = dataset
     self.batch_size = batch_size
     self.shuffle = shuffle
     self.seed = seed
     self.num_epochs = num_epochs
+    self.num_workers = num_workers
+
+  def _epoch_order(self, rng, n):
+    return rng.permutation(n) if self.shuffle else np.arange(n)
 
   def __iter__(self) -> Iterator:
     rng = np.random.default_rng(self.seed)
     n = len(self.dataset)
     epoch = 0
-    while self.num_epochs is None or epoch < self.num_epochs:
-      order = rng.permutation(n) if self.shuffle else np.arange(n)
-      for start in range(0, n - self.batch_size + 1, self.batch_size):
-        idx = order[start:start + self.batch_size]
-        items = [self.dataset[int(i)] for i in idx]
-        yield _stack_items(items)
-      epoch += 1
+    pool = None
+    if self.num_workers > 1:
+      import concurrent.futures
+      pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+    try:
+      while self.num_epochs is None or epoch < self.num_epochs:
+        order = self._epoch_order(rng, n)
+        for start in range(0, n - self.batch_size + 1, self.batch_size):
+          idx = [int(i) for i in order[start:start + self.batch_size]]
+          if pool is not None:
+            items = list(pool.map(self.dataset.__getitem__, idx))
+          else:
+            items = [self.dataset[i] for i in idx]
+          yield _stack_items(items)
+        epoch += 1
+    finally:
+      if pool is not None:
+        pool.shutdown(wait=False)
+
+
+_PREFETCH_END = object()
+
+
+class PrefetchLoader:
+  """Double-buffering wrapper: a daemon thread produces batches into a
+  bounded queue so host batch assembly overlaps device compute (the
+  reference gets this from torch DataLoader workers, datasets.py:273-275).
+
+  ``depth`` bounds host memory to ``depth`` in-flight batches.
+  """
+
+  def __init__(self, loader, depth: int = 2):
+    self.loader = loader
+    self.depth = depth
+
+  def __iter__(self) -> Iterator:
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=self.depth)
+    stop = threading.Event()
+
+    def _produce():
+      try:
+        for item in iter(self.loader):
+          while not stop.is_set():
+            try:
+              q.put(item, timeout=0.5)
+              break
+            except queue.Full:
+              continue
+          if stop.is_set():
+            return
+      finally:
+        while not stop.is_set():
+          try:
+            q.put(_PREFETCH_END, timeout=0.5)
+            return
+          except queue.Full:
+            continue
+
+    thread = threading.Thread(target=_produce, daemon=True)
+    thread.start()
+    try:
+      while True:
+        item = q.get()
+        if item is _PREFETCH_END:
+          return
+        yield item
+    finally:
+      stop.set()
 
 
 def _stack_items(items):
@@ -393,11 +465,19 @@ def get_dataset(config, uniform_dequantization: bool = False,
   else:
     raise NotImplementedError(f'Dataset {name} not yet supported.')
 
+  # Default 1: thread workers measured *slower* than serial under the GIL
+  # (58 vs 52 ms/batch for CIFAR b128); the PrefetchLoader double-buffer
+  # below is what actually hides host batch assembly (2 ms residual stall
+  # vs a 74 ms consumer, BASELINE.md).
+  num_workers = int(getattr(config.data, 'num_workers', 1))
   train_loader = NumpyLoader(train_ds, batch_size, shuffle=True,
-                             seed=config.seed)
+                             seed=config.seed, num_workers=num_workers)
   test_loader = NumpyLoader(test_ds, batch_size, shuffle=False,
-                            seed=config.seed + 1, num_epochs=num_epochs)
-  return train_loader, test_loader
+                            seed=config.seed + 1, num_epochs=num_epochs,
+                            num_workers=num_workers)
+  # Train side is the latency-critical consumer: double-buffer it so batch
+  # assembly overlaps the device step (measured in BASELINE.md).
+  return PrefetchLoader(train_loader), test_loader
 
 
 def _torchvision_or_synthetic(name: str, size: int, channels: int, seed: int):

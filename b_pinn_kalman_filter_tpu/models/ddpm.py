@@ -35,6 +35,7 @@ class DDPM(nn.Module):
     num_resolutions = len(ch_mult)
     # MXU compute dtype (params stay float32; flax casts per-layer).
     dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
+    winograd = bool(config.tpu.get('winograd', False)) if 'tpu' in config else False
 
     # config.tpu.remat: jax.checkpoint each resblock — activations are
     # recomputed in the backward pass, trading FLOPs for HBM (needed by the
@@ -43,7 +44,8 @@ class DDPM(nn.Module):
     if 'tpu' in config and config.tpu.get('remat', False):
       block_cls = layers.remat_block(layers.ResnetBlockDDPM)
     ResnetBlock = lambda out_ch=None: block_cls(
-        act=act, out_ch=out_ch, dropout=dropout, dtype=dtype)
+        act=act, out_ch=out_ch, dropout=dropout, dtype=dtype,
+        winograd=winograd)
 
     if config.model.conditional:
       # Condition on noise levels (timestep embedding MLP).
@@ -62,7 +64,7 @@ class DDPM(nn.Module):
     h = h.astype(dtype)
 
     # Downsampling path
-    hs = [layers.Conv3x3(nf, dtype=dtype)(h)]
+    hs = [layers.Conv3x3(nf, dtype=dtype, winograd=winograd)(h)]
     for i_level in range(num_resolutions):
       for i_block in range(num_res_blocks):
         h = ResnetBlock(nf * ch_mult[i_level])(hs[-1], temb, train)
@@ -87,7 +89,8 @@ class DDPM(nn.Module):
       if h.shape[1] in attn_resolutions:
         h = layers.AttnBlock(dtype=dtype)(h)
       if i_level != 0:
-        h = layers.Upsample(with_conv=resamp_with_conv, dtype=dtype)(h)
+        h = layers.Upsample(with_conv=resamp_with_conv, dtype=dtype,
+                            winograd=winograd)(h)
 
     assert not hs
     h = act(nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6)(

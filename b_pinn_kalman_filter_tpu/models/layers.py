@@ -65,22 +65,55 @@ def default_init(scale: float = 1.0):
   return jax.nn.initializers.variance_scaling(scale, 'fan_avg', 'uniform')
 
 
+class _WinogradConv3x3(nn.Module):
+  """Winograd F(2x2,3x3) conv with nn.Conv-compatible params ('kernel' HWIO
+  f32 + 'bias'), so checkpoints are interchangeable with the direct path."""
+  features: int
+  use_bias: bool = True
+  init_scale: float = 1.0
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    from b_pinn_kalman_filter_tpu.ops import winograd
+    kernel = self.param('kernel', default_init(self.init_scale),
+                        (3, 3, x.shape[-1], self.features), jnp.float32)
+    bias = (self.param('bias', nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+            if self.use_bias else None)
+    return winograd.conv3x3_fast(x, kernel, bias, compute_dtype=self.dtype)
+
+
 class Conv3x3(nn.Module):
-  """3x3 conv, DDPM init, SAME padding (reference ddpm_conv3x3, layers.py:113)."""
+  """3x3 conv, DDPM init, SAME padding (reference ddpm_conv3x3, layers.py:113).
+
+  ``winograd=True`` routes stride-1/dilation-1 calls with MXU-filling
+  channel counts through the F(2x2,3x3) path (ops/winograd.py) — same
+  convolution, 2.25x fewer MXU multiplies; the param tree is identical
+  either way (both branches scope to 'Conv_0' with nn.Conv param names).
+  """
   out_ch: int
   stride: int = 1
   bias: bool = True
   dilation: int = 1
   init_scale: float = 1.0
   dtype: Dtype = jnp.float32
+  winograd: bool = False
 
   @nn.compact
   def __call__(self, x):
+    from b_pinn_kalman_filter_tpu.ops import winograd as wg
+    if self.winograd and wg.winograd_applicable(
+        x.shape, (3, 3, x.shape[-1], self.out_ch), self.stride, self.dilation):
+      return _WinogradConv3x3(self.out_ch, use_bias=self.bias,
+                              init_scale=self.init_scale, dtype=self.dtype,
+                              name='Conv_0')(x)
     return nn.Conv(self.out_ch, (3, 3), strides=(self.stride, self.stride),
                    padding='SAME', use_bias=self.bias,
                    kernel_dilation=(self.dilation, self.dilation),
                    kernel_init=default_init(self.init_scale),
-                   bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
+                   bias_init=nn.initializers.zeros, dtype=self.dtype,
+                   name='Conv_0')(x)
 
 
 class Conv1x1(nn.Module):
@@ -193,12 +226,13 @@ class Upsample(nn.Module):
   """Nearest x2 upsample, optional conv (reference layers.py:576-588)."""
   with_conv: bool = False
   dtype: Dtype = jnp.float32
+  winograd: bool = False
 
   @nn.compact
   def __call__(self, x):
     h = naive_upsample_2d(x, 2)
     if self.with_conv:
-      h = Conv3x3(x.shape[-1], dtype=self.dtype)(h)
+      h = Conv3x3(x.shape[-1], dtype=self.dtype, winograd=self.winograd)(h)
     return h
 
 
@@ -228,6 +262,7 @@ class ResnetBlockDDPM(nn.Module):
   conv_shortcut: bool = False
   dropout: float = 0.1
   dtype: Dtype = jnp.float32
+  winograd: bool = False
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
@@ -235,7 +270,7 @@ class ResnetBlockDDPM(nn.Module):
     out_ch = self.out_ch if self.out_ch is not None else C
     h = self.act(nn.GroupNorm(num_groups=min(32, C), epsilon=1e-6,
                               dtype=self.dtype)(x))
-    h = Conv3x3(out_ch, dtype=self.dtype)(h)
+    h = Conv3x3(out_ch, dtype=self.dtype, winograd=self.winograd)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros,
@@ -243,10 +278,11 @@ class ResnetBlockDDPM(nn.Module):
     h = self.act(nn.GroupNorm(num_groups=min(32, out_ch), epsilon=1e-6,
                               dtype=self.dtype)(h))
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
-    h = Conv3x3(out_ch, init_scale=0., dtype=self.dtype)(h)
+    h = Conv3x3(out_ch, init_scale=0., dtype=self.dtype,
+                winograd=self.winograd)(h)
     if C != out_ch:
       if self.conv_shortcut:
-        x = Conv3x3(out_ch, dtype=self.dtype)(x)
+        x = Conv3x3(out_ch, dtype=self.dtype, winograd=self.winograd)(x)
       else:
         x = NIN(out_ch, dtype=self.dtype)(x)
     return x + h

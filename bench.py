@@ -1,30 +1,131 @@
-"""Benchmark: PC-sampling throughput on the flagship DDPM++ CIFAR-10 config.
+"""Benchmarks for the driver: one JSON line per metric, headline LAST.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (BASELINE.json set):
+  1. train_imgs_per_sec  — full 57.6M-param DDPM++ train step, batch 128 bf16
+  2. pinn_residual_points_per_sec — PINN phase-2 step (data + NS-residual
+     losses, nested grads) on the PDE config
+  3. pc_sampling imgs/sec/chip (HEADLINE, printed last so the driver's
+     tail-parse picks it up): VP DDPM++ CIFAR-10, N=1000 reverse steps,
+     euler_maruyama / no corrector — the reference's sampling config
+     (reference sampling.py:403-409).
 
-Headline metric (BASELINE.json north star): PC sampling imgs/sec/chip on the
-VP DDPM++ CIFAR-10 continuous config (full-size model, N=1000 reverse steps,
-euler_maruyama predictor / no corrector — exactly the reference's sampling
-config, reference sampling.py:403-409).
+Baselines (documented in BASELINE.md): the reference publishes no numbers;
+A100 torch estimates are 2.2 imgs/s (sampling, batch 64 N=1000), 675
+imgs/s (training, batch 128), and 2.5M residual pts/s (PINN phase 2).
 
-Baseline: the reference publishes no numbers (BASELINE.md).  An A100 running
-the torch reference at batch 64 / N=1000 sequential U-Net evals measures
-~2.2 imgs/sec (same U-Net FLOPs; consistent with score_sde community timings);
-north star = 5x that per chip => vs_baseline is reported against 2.2 img/s.
+Timing discipline (CLAUDE.md): fresh time-derived inputs per run + full
+host readback — the TPU tunnel memoizes repeated identical computations
+and its block_until_ready does not reliably synchronize.
 """
 
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_IMGS_PER_SEC = 2.2  # torch reference, estimated (see docstring)
+A100_SAMPLING_IMGS_PER_SEC = 2.2
+A100_TRAIN_IMGS_PER_SEC = 675.0
+A100_PINN_RESIDUAL_PTS_PER_SEC = 2.5e6
 
 
-def main():
+def _emit(metric, value, unit, baseline):
+  print(json.dumps({
+      "metric": metric,
+      "value": round(float(value), 3),
+      "unit": unit,
+      "vs_baseline": round(float(value) / baseline, 3),
+  }), flush=True)
+
+
+def _fresh_key():
+  return jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31)
+
+
+def bench_train():
+  from b_pinn_kalman_filter_tpu import configs, models as mutils
+  from b_pinn_kalman_filter_tpu.core import losses, sde as sde_lib
+  from b_pinn_kalman_filter_tpu.train import state as state_lib
+
+  config = configs.get_config("vp/cifar10_ddpmpp_continuous")
+  batch = config.training.batch_size  # 128
+  shape = (batch, config.data.image_size, config.data.image_size,
+           config.data.num_channels)
+
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  tx = losses.get_optimizer(config)
+  state = state_lib.create_train_state(variables['params'], tx,
+                                       config.model.ema_rate)
+  sde, _ = sde_lib.get_sde(config)
+  step_fn = jax.jit(
+      losses.get_step_fn(sde, model, tx, train=True,
+                         reduce_mean=config.training.reduce_mean,
+                         continuous=config.training.continuous),
+      donate_argnums=(1,))
+
+  def host_batch(i):
+    rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+    return rng.standard_normal(shape, np.float32) * 0.5
+
+  state, loss = step_fn(_fresh_key(), state, jnp.asarray(host_batch(0)))
+  np.asarray(loss)  # compile + warmup
+
+  n_steps = 20
+  t0 = time.perf_counter()
+  for i in range(n_steps):
+    state, loss = step_fn(_fresh_key(), state, jnp.asarray(host_batch(i)))
+  np.asarray(loss)  # chain forces all steps
+  dt = (time.perf_counter() - t0) / n_steps
+  _emit("train_imgs_per_sec_cifar10_ddpmpp_batch128_bf16",
+        batch / dt, "imgs/sec", A100_TRAIN_IMGS_PER_SEC)
+
+
+def bench_pinn():
+  from b_pinn_kalman_filter_tpu import configs
+  from b_pinn_kalman_filter_tpu.data import get_mask_dataset
+  from b_pinn_kalman_filter_tpu.pinn import losses as pinn_losses
+  from b_pinn_kalman_filter_tpu.pinn import pinn_lib
+  from b_pinn_kalman_filter_tpu.train import state as state_lib
+
+  config = configs.get_config("pinn/pinn_pde")
+  B = config.training.batch_size
+  H = config.data.image_size
+  C = config.data.num_channels
+
+  model, variables = pinn_lib.init_pinn(config, jax.random.PRNGKey(0))
+  tx = pinn_losses.get_pinn_optimizer(config, lr_mul_pres=0.005)
+  state = state_lib.create_train_state(variables['params'], tx,
+                                       config.model.ema_rate)
+  step_fn = jax.jit(pinn_losses.get_pinn_step_fn(config, model, tx, train=True),
+                    donate_argnums=(1,))
+  mask = jnp.asarray(get_mask_dataset(config).next())
+
+  def host_batch(i):
+    rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+    f = rng.standard_normal((B, H, H, C)).astype(np.float32)
+    f2 = rng.standard_normal((B, H, H, C)).astype(np.float32)
+    xy = np.linspace(0, 1, H, dtype=np.float32)
+    x = np.broadcast_to(xy[None, None, :, None], (B, H, H, 1)).copy()
+    y = np.broadcast_to(xy[None, :, None, None], (B, H, H, 1)).copy()
+    t = rng.random((B,)).astype(np.float32)
+    target = rng.standard_normal((B, H, H, 6)).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in (f, f2, x, y, t, target))
+
+  state, (loss, *_rest) = step_fn(_fresh_key(), state, mask, host_batch(0))
+  np.asarray(loss)
+
+  n_steps = 10
+  t0 = time.perf_counter()
+  for i in range(n_steps):
+    state, (loss, *_rest) = step_fn(_fresh_key(), state, mask, host_batch(i))
+  np.asarray(loss)
+  dt = (time.perf_counter() - t0) / n_steps
+  _emit("pinn_phase2_residual_points_per_sec_pde",
+        B * H * H / dt, "residual pts/sec", A100_PINN_RESIDUAL_PTS_PER_SEC)
+
+
+def bench_sampling():
   from b_pinn_kalman_filter_tpu import configs, models as mutils
   from b_pinn_kalman_filter_tpu.core import sampling, sde as sde_lib
   from b_pinn_kalman_filter_tpu.data import get_data_inverse_scaler
@@ -32,8 +133,7 @@ def main():
   config = configs.get_config("vp/cifar10_ddpmpp_continuous")
   batch = 64
 
-  rng = jax.random.PRNGKey(0)
-  model, variables = mutils.init_model(rng, config)
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
   params = variables['params']
   sde, eps = sde_lib.get_sde(config)
   inverse_scaler = get_data_inverse_scaler(config)
@@ -43,33 +143,30 @@ def main():
   sampling_fn = jax.jit(sampling.get_sampling_fn(
       config, sde, model, shape, inverse_scaler, eps))
 
-  def fresh_key():
-    # Time-derived keys: the TPU tunnel backend memoizes repeated identical
-    # calls and its block_until_ready does not reliably synchronize; fresh
-    # inputs + full host readback give honest timings.
-    return jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31)
+  samples, _nfe = sampling_fn(_fresh_key(), params)
+  np.asarray(samples)  # compile + warmup
 
-  # Compile + warmup (readback forces completion).
-  samples, nfe = sampling_fn(fresh_key(), params)
-  np.asarray(samples)
-
-  n_runs = 2
   times = []
-  for i in range(n_runs):
+  for _ in range(5):
     t0 = time.perf_counter()
-    samples, nfe = sampling_fn(fresh_key(), params)
+    samples, _nfe = sampling_fn(_fresh_key(), params)
     np.asarray(samples)
     times.append(time.perf_counter() - t0)
   dt = min(times)
 
   n_chips = jax.device_count()
-  imgs_per_sec_per_chip = batch / dt / n_chips
-  print(json.dumps({
-      "metric": "pc_sampling_imgs_per_sec_per_chip_cifar10_ddpmpp_n1000",
-      "value": round(imgs_per_sec_per_chip, 3),
-      "unit": "imgs/sec/chip",
-      "vs_baseline": round(imgs_per_sec_per_chip / A100_REFERENCE_IMGS_PER_SEC, 3),
-  }))
+  _emit("pc_sampling_imgs_per_sec_per_chip_cifar10_ddpmpp_n1000",
+        batch / dt / n_chips, "imgs/sec/chip", A100_SAMPLING_IMGS_PER_SEC)
+
+
+def main():
+  for fn in (bench_train, bench_pinn, bench_sampling):
+    try:
+      fn()
+    except Exception as e:  # secondary metric failures must not kill headline
+      print(json.dumps({"metric": f"{fn.__name__}_error",
+                        "error": f"{type(e).__name__}: {e}"[:200]}),
+            flush=True)
 
 
 if __name__ == '__main__':
