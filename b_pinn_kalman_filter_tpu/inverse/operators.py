@@ -23,10 +23,20 @@ Array = jax.Array
 
 
 def get_operator(config):
-  """Operator factory (reference operators.py:8-17)."""
+  """Operator factory (reference operators.py:8-17).
+
+  The reference factory only dispatches inpainting and leaves its
+  GaussianFilter unreachable; we additionally expose it as ``'blur'``
+  (kernel size/std from ``config.inverse.blur_kernel``/``blur_std``,
+  defaults 9/2.0) — a documented extension beyond reference parity.
+  """
   if config.inverse.operator in ('inpaint', 'inpaint_rnd'):
     from b_pinn_kalman_filter_tpu.data import get_mask_dataset
     return InpaintOperator(mask_source=get_mask_dataset(config))
+  if config.inverse.operator == 'blur':
+    k = int(config.inverse.get('blur_kernel', 9))
+    std = float(config.inverse.get('blur_std', 2.0))
+    return GaussianFilter((k, k), std)
   raise NotImplementedError
 
 

@@ -86,6 +86,23 @@ class TestOperators:
     x = jnp.ones((2, 3))
     np.testing.assert_allclose(op(x), 2.5)
 
+  def test_factory_blur_branch(self):
+    # get_operator 'blur' extension (reference leaves GaussianFilter
+    # unreachable from its factory, operators.py:8-17).
+    import ml_collections
+    from b_pinn_kalman_filter_tpu.inverse.operators import get_operator
+    config = ml_collections.ConfigDict()
+    config.inverse = ml_collections.ConfigDict()
+    config.inverse.operator = 'blur'
+    config.inverse.blur_kernel = 5
+    config.inverse.blur_std = 1.5
+    op = get_operator(config)
+    assert isinstance(op, GaussianFilter)
+    assert op.get_kernel().shape == (5, 5)
+    x = jnp.asarray(np.random.default_rng(4).random((2, 8, 8, 1)), jnp.float32)
+    y = op(x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
 
 MU0, S0 = 0.8, 0.3
 
