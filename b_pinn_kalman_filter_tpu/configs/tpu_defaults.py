@@ -24,6 +24,11 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
   # conv (12.2 vs 9.3 ms/step on the DDPM++ sampler; the kernel only wins
   # in isolation at 16x16/256ch, see BASELINE.md).
   tpu.winograd = False
+  # Fused GroupNorm+activation Pallas kernel on the resblocks
+  # (ops/groupnorm_pallas.py).  Off by default: measured slower end-to-end
+  # (12.4 vs 9.4 ms/step) — pallas_call fusion barriers cost more than
+  # XLA's already-fused norm chain saves (BASELINE.md round 2).
+  tpu.fused_groupnorm = False
   tpu.donate_state = True
   config.device = 'tpu'
   return config

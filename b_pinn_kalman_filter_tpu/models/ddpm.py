@@ -36,6 +36,10 @@ class DDPM(nn.Module):
     # MXU compute dtype (params stay float32; flax casts per-layer).
     dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
     winograd = bool(config.tpu.get('winograd', False)) if 'tpu' in config else False
+    # Fused GroupNorm+act Pallas kernel (ops/groupnorm_pallas.py): one HBM
+    # read+write per norm instead of XLA's multi-pass lowering.
+    fused_gn = (bool(config.tpu.get('fused_groupnorm', False))
+                if 'tpu' in config else False)
 
     # config.tpu.remat: jax.checkpoint each resblock — activations are
     # recomputed in the backward pass, trading FLOPs for HBM (needed by the
@@ -45,7 +49,7 @@ class DDPM(nn.Module):
       block_cls = layers.remat_block(layers.ResnetBlockDDPM)
     ResnetBlock = lambda out_ch=None: block_cls(
         act=act, out_ch=out_ch, dropout=dropout, dtype=dtype,
-        winograd=winograd)
+        winograd=winograd, fused_gn=fused_gn)
 
     if config.model.conditional:
       # Condition on noise levels (timestep embedding MLP).

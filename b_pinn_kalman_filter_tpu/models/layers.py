@@ -59,6 +59,49 @@ def get_act(config) -> Callable[[Array], Array]:
     raise NotImplementedError('activation function does not exist!')
 
 
+class _FusedGroupNormAct(nn.Module):
+  """act(GroupNorm(x)) through the fused Pallas kernel
+  (ops/groupnorm_pallas.py), with nn.GroupNorm-compatible params
+  ('scale'/'bias' f32) so checkpoints interchange with the direct path."""
+  num_groups: int
+  act_name: str
+  dtype: Dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    from b_pinn_kalman_filter_tpu.ops import groupnorm_pallas
+    C = x.shape[-1]
+    scale = self.param('scale', nn.initializers.ones, (C,), jnp.float32)
+    bias = self.param('bias', nn.initializers.zeros, (C,), jnp.float32)
+    return groupnorm_pallas.groupnorm_act(
+        x.astype(self.dtype), scale, bias, num_groups=self.num_groups,
+        act=self.act_name, eps=1e-6,
+        interpret=groupnorm_pallas.FORCE_INTERPRET)
+
+
+_FUSABLE_ACTS = {jax.nn.silu: 'silu', jax.nn.elu: 'elu'}
+
+
+def norm_act(x, act: Callable, num_groups: int, dtype, fused: bool,
+             name: str):
+  """``act(GroupNorm(x))`` with optional fused-kernel dispatch.
+
+  ``name`` pins the child scope (e.g. 'GroupNorm_0') so the param tree is
+  identical whether or not the fused path is taken.  Falls back to flax
+  GroupNorm when the activation has no kernel variant or the shape misses
+  the lane-alignment guard.
+  """
+  from b_pinn_kalman_filter_tpu.ops import groupnorm_pallas
+  act_name = _FUSABLE_ACTS.get(act)
+  if (fused and act_name is not None
+      and (jax.default_backend() == 'tpu' or groupnorm_pallas.FORCE_INTERPRET)
+      and groupnorm_pallas.fits_fused_groupnorm(x.shape, num_groups)):
+    return _FusedGroupNormAct(num_groups=num_groups, act_name=act_name,
+                              dtype=dtype, name=name)(x)
+  return act(nn.GroupNorm(num_groups=num_groups, epsilon=1e-6,
+                          dtype=dtype, name=name)(x))
+
+
 def default_init(scale: float = 1.0):
   """DDPM initialization: variance_scaling(scale, fan_avg, uniform)."""
   scale = 1e-10 if scale == 0 else scale
@@ -263,20 +306,21 @@ class ResnetBlockDDPM(nn.Module):
   dropout: float = 0.1
   dtype: Dtype = jnp.float32
   winograd: bool = False
+  fused_gn: bool = False
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     B, H, W, C = x.shape
     out_ch = self.out_ch if self.out_ch is not None else C
-    h = self.act(nn.GroupNorm(num_groups=min(32, C), epsilon=1e-6,
-                              dtype=self.dtype)(x))
+    h = norm_act(x, self.act, min(32, C), self.dtype, self.fused_gn,
+                 name='GroupNorm_0')
     h = Conv3x3(out_ch, dtype=self.dtype, winograd=self.winograd)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros,
                     dtype=self.dtype)(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=min(32, out_ch), epsilon=1e-6,
-                              dtype=self.dtype)(h))
+    h = norm_act(h, self.act, min(32, out_ch), self.dtype, self.fused_gn,
+                 name='GroupNorm_1')
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = Conv3x3(out_ch, init_scale=0., dtype=self.dtype,
                 winograd=self.winograd)(h)

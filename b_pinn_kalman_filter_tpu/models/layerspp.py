@@ -28,6 +28,14 @@ def _gn(ch: int, dtype=jnp.float32):
                       dtype=dtype)
 
 
+def _norm_act(x, act, dtype, fused: bool, name: str):
+  """act(GroupNorm(x)) with optional fused Pallas dispatch
+  (layers.norm_act with the NCSN++ group-count formula)."""
+  ch = x.shape[-1]
+  return layers.norm_act(x, act, max(min(ch // 4, 32), 1), dtype, fused,
+                         name=name)
+
+
 class GaussianFourierProjection(nn.Module):
   """Gaussian Fourier features for noise levels (reference layerspp.py:32-41).
   W is a fixed (non-trainable) random projection."""
@@ -148,18 +156,19 @@ class ResnetBlockDDPMpp(nn.Module):
   skip_rescale: bool = False
   init_scale: float = 0.
   dtype: Any = jnp.float32
+  fused_gn: bool = False
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     C = x.shape[-1]
     out_ch = self.out_ch if self.out_ch else C
-    h = self.act(_gn(C, self.dtype)(x))
+    h = _norm_act(x, self.act, self.dtype, self.fused_gn, 'GroupNorm_0')
     h = Conv3x3(out_ch, dtype=self.dtype)(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros,
                     dtype=self.dtype)(self.act(temb))[:, None, None, :]
-    h = self.act(_gn(out_ch, self.dtype)(h))
+    h = _norm_act(h, self.act, self.dtype, self.fused_gn, 'GroupNorm_1')
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
     if C != out_ch:
@@ -185,12 +194,13 @@ class ResnetBlockBigGANpp(nn.Module):
   skip_rescale: bool = True
   init_scale: float = 0.
   dtype: Any = jnp.float32
+  fused_gn: bool = False
 
   @nn.compact
   def __call__(self, x, temb=None, train=True):
     C = x.shape[-1]
     out_ch = self.out_ch if self.out_ch else C
-    h = self.act(_gn(C, self.dtype)(x))
+    h = _norm_act(x, self.act, self.dtype, self.fused_gn, 'GroupNorm_0')
 
     if self.up:
       if self.fir:
@@ -212,7 +222,7 @@ class ResnetBlockBigGANpp(nn.Module):
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros,
                     dtype=self.dtype)(self.act(temb))[:, None, None, :]
-    h = self.act(_gn(out_ch, self.dtype)(h))
+    h = _norm_act(h, self.act, self.dtype, self.fused_gn, 'GroupNorm_1')
     h = nn.Dropout(self.dropout)(h, deterministic=not train)
     h = Conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
 

@@ -49,6 +49,9 @@ class NCSNpp(nn.Module):
     combine_method = config.model.progressive_combine.lower()
     # MXU compute dtype (params stay float32).
     dtype = jnp.dtype(config.tpu.compute_dtype) if 'tpu' in config else jnp.float32
+    # Fused GroupNorm+act Pallas kernel (ops/groupnorm_pallas.py).
+    fused_gn = (bool(config.tpu.get('fused_groupnorm', False))
+                if 'tpu' in config else False)
 
     AttnBlock = functools.partial(layerspp.AttnBlockpp,
                                   init_scale=init_scale,
@@ -67,12 +70,13 @@ class NCSNpp(nn.Module):
     if resblock_type == 'ddpm':
       ResnetBlock = functools.partial(
           maybe_remat(layerspp.ResnetBlockDDPMpp), act=act, dropout=dropout,
-          init_scale=init_scale, skip_rescale=skip_rescale, dtype=dtype)
+          init_scale=init_scale, skip_rescale=skip_rescale, dtype=dtype,
+          fused_gn=fused_gn)
     elif resblock_type == 'biggan':
       ResnetBlock = functools.partial(
           maybe_remat(layerspp.ResnetBlockBigGANpp), act=act, dropout=dropout,
           fir=fir, fir_kernel=fir_kernel, init_scale=init_scale,
-          skip_rescale=skip_rescale, dtype=dtype)
+          skip_rescale=skip_rescale, dtype=dtype, fused_gn=fused_gn)
     else:
       raise ValueError(f'resblock type {resblock_type} unrecognized.')
 

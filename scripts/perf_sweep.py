@@ -27,6 +27,8 @@ def main():
   ap.add_argument('--config', type=str, default='vp/cifar10_ddpmpp_continuous')
   ap.add_argument('--winograd', type=int, default=-1,
                   help='-1 config default, 0 off, 1 on')
+  ap.add_argument('--fused_gn', type=int, default=-1,
+                  help='-1 config default, 0 off, 1 on')
   args = ap.parse_args()
 
   dev = jax.devices()[0]
@@ -40,7 +42,10 @@ def main():
   config.model.num_scales = args.n  # sde.N drives the scan length
   if args.winograd >= 0:
     config.tpu.winograd = bool(args.winograd)
-  print(f'winograd: {config.tpu.get("winograd", False)}', flush=True)
+  if args.fused_gn >= 0:
+    config.tpu.fused_groupnorm = bool(args.fused_gn)
+  print(f'winograd: {config.tpu.get("winograd", False)} '
+        f'fused_gn: {config.tpu.get("fused_groupnorm", False)}', flush=True)
 
   rng = jax.random.PRNGKey(0)
   model, variables = mutils.init_model(rng, config)
