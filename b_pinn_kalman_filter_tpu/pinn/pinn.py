@@ -74,8 +74,23 @@ def equation_mse(apply_uvp: Callable, x: Array, y: Array, t: Array,
 
   ``apply_uvp(x, y, t) -> (u, v, p)`` must be a pure function of the
   coordinate fields (closing over params, f1, f2).  Implements the exact
-  sum-then-grad semantics of the reference: each partial is
-  d(sum(field))/d(input field), per input pixel.
+  sum-then-grad semantics of the reference: each first-order partial is
+  d(sum(field))/d(input pixel); each second-order term is torch's
+  ``grad(u_x.sum(), x)`` — the Hessian-row-sum H.1, not the diagonal.
+
+  **Formulation note (TPU, measured round 2).**  Two pass-count
+  optimizations were built and benchmarked against this literal
+  transcription: (a) one shared ``jax.vjp`` for all first-order partials
+  plus forward-over-reverse HVPs for the second-order Hessian-row-sums,
+  and (b) the same with shared reverse-over-reverse linearizations.  Both
+  compute identical values (tests/test_pinn_residual_parity.py) but OOM
+  HBM at the reference's 64^2/batch-64 phase-2 scale once the outer
+  parameter gradient transposes the shared graphs (47.7G and 55.9G vs
+  15.75G, XLA compile reports) — and ``jax.checkpoint`` cannot
+  rematerialize through forward-mode.  The independent nested grads below
+  are what XLA can actually schedule within HBM: each sum-then-grad
+  subgraph is freed before the next, so "redundant" forwards are the
+  memory-optimal schedule.  Keep the parity test if revisiting.
   """
 
   def u_sum(x_, y_, t_):

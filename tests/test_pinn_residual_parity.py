@@ -1,0 +1,104 @@
+"""Parity of the vjp/HVP equation_mse reformulation vs the literal
+sum-then-grad transcription of the reference (reference pinn.py:72-111)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from b_pinn_kalman_filter_tpu.pinn import pinn as pinn_mod
+
+
+def _equation_mse_literal(apply_uvp, x, y, t, Re):
+  """Direct transcription of the reference's nested-autograd semantics
+  (the pre-optimization implementation) — the oracle."""
+
+  def u_sum(x_, y_, t_):
+    return jnp.sum(apply_uvp(x_, y_, t_)[0])
+
+  def v_sum(x_, y_, t_):
+    return jnp.sum(apply_uvp(x_, y_, t_)[1])
+
+  def p_sum(x_, y_):
+    return jnp.sum(apply_uvp(x_, y_, t)[2])
+
+  u, v, p = apply_uvp(x, y, t)
+  u_x, u_y, u_t = jax.grad(u_sum, argnums=(0, 1, 2))(x, y, t)
+  v_x, v_y, v_t = jax.grad(v_sum, argnums=(0, 1, 2))(x, y, t)
+  p_x, p_y = jax.grad(p_sum, argnums=(0, 1))(x, y)
+  u_xx = jax.grad(lambda x_: jnp.sum(jax.grad(u_sum, argnums=0)(x_, y, t)))(x)
+  u_yy = jax.grad(lambda y_: jnp.sum(jax.grad(u_sum, argnums=1)(x, y_, t)))(y)
+  v_xx = jax.grad(lambda x_: jnp.sum(jax.grad(v_sum, argnums=0)(x_, y, t)))(x)
+  v_yy = jax.grad(lambda y_: jnp.sum(jax.grad(v_sum, argnums=1)(x, y_, t)))(y)
+  u_t = u_t[:, None, None, None]
+  v_t = v_t[:, None, None, None]
+  f_x = u_t + (u * u_x + v * u_y) + p_x - 1.0 / Re * (u_xx + u_yy)
+  f_y = v_t + (u * v_x + v * v_y) + p_y - 1.0 / Re * (v_xx + v_yy)
+  f_mass = u_x + v_y
+  return jnp.mean(f_x ** 2) + jnp.mean(f_y ** 2) + jnp.mean(f_mass ** 2)
+
+
+def _mini_convnet_uvp():
+  """A nonlinear cross-pixel (x, y, t)->(u, v, p) map standing in for
+  FlowNet+PressureNet: convolutions couple neighboring pixels so the
+  Hessian-row-sum vs diagonal distinction matters."""
+  rng = np.random.default_rng(0)
+  k1 = jnp.asarray(rng.standard_normal((3, 3, 3, 8)) * 0.2, jnp.float32)
+  k2 = jnp.asarray(rng.standard_normal((3, 3, 8, 3)) * 0.2, jnp.float32)
+
+  def apply_uvp(x, y, t):
+    tb = jnp.broadcast_to(t[:, None, None, None], x.shape)
+    h = jnp.concatenate([x, y, tb * x], axis=-1)
+    h = jax.lax.conv_general_dilated(h, k1, (1, 1), 'SAME',
+                                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    h = jnp.tanh(h)
+    h = jax.lax.conv_general_dilated(h, k2, (1, 1), 'SAME',
+                                     dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return h[..., 0:1], h[..., 1:2], h[..., 2:3]
+
+  return apply_uvp
+
+
+def test_equation_mse_matches_literal_reference():
+  apply_uvp = _mini_convnet_uvp()
+  rng = np.random.default_rng(1)
+  B, S = 2, 8
+  xy = np.linspace(0, 1, S, dtype=np.float32)
+  x = jnp.asarray(np.broadcast_to(xy[None, None, :, None], (B, S, S, 1)))
+  y = jnp.asarray(np.broadcast_to(xy[None, :, None, None], (B, S, S, 1)))
+  x = x + jnp.asarray(rng.random((B, S, S, 1)), jnp.float32) * 0.01
+  y = y + jnp.asarray(rng.random((B, S, S, 1)), jnp.float32) * 0.01
+  t = jnp.asarray(rng.random(B), jnp.float32)
+  Re = 1e4
+
+  got = pinn_mod.equation_mse(apply_uvp, x, y, t, Re)
+  want = _equation_mse_literal(apply_uvp, x, y, t, Re)
+  np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_equation_mse_param_gradients_match():
+  """The outer parameter gradient (what training uses) must also agree."""
+  rng = np.random.default_rng(2)
+  B, S = 2, 6
+  xy = np.linspace(0, 1, S, dtype=np.float32)
+  x = jnp.asarray(np.broadcast_to(xy[None, None, :, None], (B, S, S, 1)))
+  y = jnp.asarray(np.broadcast_to(xy[None, :, None, None], (B, S, S, 1)))
+  t = jnp.asarray(rng.random(B), jnp.float32)
+  k0 = jnp.asarray(rng.standard_normal((3, 3, 3, 3)) * 0.3, jnp.float32)
+
+  def make_uvp(k):
+    def apply_uvp(x_, y_, t_):
+      tb = jnp.broadcast_to(t_[:, None, None, None], x_.shape)
+      h = jnp.concatenate([x_ * y_, y_, tb + x_], axis=-1)
+      h = jax.lax.conv_general_dilated(h, k, (1, 1), 'SAME',
+                                       dimension_numbers=('NHWC', 'HWIO',
+                                                          'NHWC'))
+      h = jnp.sin(h)
+      return h[..., 0:1], h[..., 1:2], h[..., 2:3]
+    return apply_uvp
+
+  g_new = jax.grad(lambda k: pinn_mod.equation_mse(make_uvp(k), x, y, t,
+                                                   1e4))(k0)
+  g_old = jax.grad(lambda k: _equation_mse_literal(make_uvp(k), x, y, t,
+                                                   1e4))(k0)
+  np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                             rtol=1e-4, atol=1e-6)
