@@ -11,7 +11,10 @@ Metrics (BASELINE.json set):
 
 Baselines (documented in BASELINE.md): the reference publishes no numbers;
 A100 torch estimates are 2.2 imgs/s (sampling, batch 64 N=1000), 675
-imgs/s (training, batch 128), and 2.5M residual pts/s (PINN phase 2).
+imgs/s (training, batch 128), and 1.0M residual pts/s (PINN phase 2 —
+derivation: the step is 5.31 TFLOP by XLA full-program count, torch eager
+nested autograd sustains ~10-15% of A100 TF32's 156 TFLOP/s on PINN
+workloads => ~0.26 s / 262k residual points).
 
 Timing discipline (CLAUDE.md): fresh time-derived inputs per run + full
 host readback — the TPU tunnel memoizes repeated identical computations
@@ -27,7 +30,7 @@ import numpy as np
 
 A100_SAMPLING_IMGS_PER_SEC = 2.2
 A100_TRAIN_IMGS_PER_SEC = 675.0
-A100_PINN_RESIDUAL_PTS_PER_SEC = 2.5e6
+A100_PINN_RESIDUAL_PTS_PER_SEC = 1.0e6  # see module docstring derivation
 
 
 def _emit(metric, value, unit, baseline):
