@@ -188,19 +188,26 @@ def _run_secondary(name: str):
   # PINN phase-2 alone measured 1817 s (compile-dominated, BASELINE.md);
   # leave headroom.
   timeout = int(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700'))
-  try:
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__),
-                           '--only', name],
-                          timeout=timeout, capture_output=True, text=True)
+  for attempt in range(2):  # tunnel stream errors are transient — retry once
+    try:
+      proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                             '--only', name],
+                            timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+      print(json.dumps({"metric": f"bench_{name}_error",
+                        "error": f"timeout after {timeout}s"}), flush=True)
+      return
+    emitted = False
     for line in proc.stdout.splitlines():
       if line.startswith('{'):
         print(line, flush=True)
-    if proc.returncode != 0:
-      print(json.dumps({"metric": f"bench_{name}_error",
-                        "error": proc.stderr[-200:]}), flush=True)
-  except subprocess.TimeoutExpired:
+        emitted = True
+    if proc.returncode == 0 and emitted:
+      return
+    err_lines = [l for l in proc.stderr.splitlines() if 'Error' in l]
+    err = (err_lines[-1] if err_lines else proc.stderr[-200:])[:300]
     print(json.dumps({"metric": f"bench_{name}_error",
-                      "error": f"timeout after {timeout}s"}), flush=True)
+                      "attempt": attempt + 1, "error": err}), flush=True)
 
 
 def main():
