@@ -30,5 +30,11 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
   # XLA's already-fused norm chain saves (BASELINE.md round 2).
   tpu.fused_groupnorm = False
   tpu.donate_state = True
+  # Bundle event-free training steps into one lax.scan dispatch
+  # (run_lib.train).  1 = reference step-at-a-time semantics; raise when
+  # per-dispatch latency matters (e.g. 32 hides the ~40 ms tunnel
+  # round-trip measured in BASELINE.md).  Log/eval/snapshot cadence is
+  # preserved exactly at any value.
+  tpu.steps_per_dispatch = 1
   config.device = 'tpu'
   return config

@@ -476,8 +476,13 @@ def get_dataset(config, uniform_dequantization: bool = False,
                             seed=config.seed + 1, num_epochs=num_epochs,
                             num_workers=num_workers)
   # Train side is the latency-critical consumer: double-buffer it so batch
-  # assembly overlaps the device step (measured in BASELINE.md).
-  return PrefetchLoader(train_loader), test_loader
+  # assembly overlaps the device step (measured in BASELINE.md).  With
+  # multi-step dispatch (tpu.steps_per_dispatch) the trainer drains K
+  # batches at once — keep at least one full dispatch of batches buffered.
+  depth = 2
+  if 'tpu' in config:
+    depth = max(2, int(config.tpu.get('steps_per_dispatch', 1)))
+  return PrefetchLoader(train_loader, depth=depth), test_loader
 
 
 def _torchvision_or_synthetic(name: str, size: int, channels: int, seed: int):

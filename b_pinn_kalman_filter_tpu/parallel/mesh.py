@@ -51,6 +51,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
   return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def stacked_data_sharding(mesh: Mesh) -> NamedSharding:
+  """Sharding for a (K, B, ...) stack of K batches: the scan axis stays
+  replicated, the batch axis shards over 'data' (multi-step dispatch,
+  run_lib.train)."""
+  return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
   """Device-put a pytree fully replicated over the mesh."""
   sharding = replicate_sharding(mesh)

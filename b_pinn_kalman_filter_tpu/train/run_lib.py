@@ -99,7 +99,50 @@ def train(config, workdir: str):
   num_train_steps = config.training.n_iters
   logging.info("Starting training loop at step %d.", initial_step)
 
-  for step in range(initial_step, num_train_steps + 1):
+  # config.tpu.steps_per_dispatch > 1: bundle event-free runs of steps into
+  # one lax.scan program so per-call dispatch latency amortizes (the
+  # reference trains strictly step-at-a-time; on TPU each host->device
+  # dispatch costs far more than a 1-step program gap — measured ~40 ms
+  # through the tunnel vs the 73.5 ms device step, BASELINE.md).  Event
+  # steps (log/eval/snapshot cadence) always take the single-step path, so
+  # cadence semantics are exactly the reference's.  RNG differs from K=1
+  # only in key-split order (one split per dispatch, fanned into per-step
+  # keys) — statistically identical.
+  K = int(config.tpu.get('steps_per_dispatch', 1)) if 'tpu' in config else 1
+  if K > 1:
+    base_step = losses.get_step_fn(sde, model, tx, train=True, **common)
+
+    def _multi(rng, state, batches):
+      def body(s, xs):
+        return base_step(xs[0], s, xs[1])
+      keys = jax.random.split(rng, batches.shape[0])
+      state, loss_seq = jax.lax.scan(body, state, (keys, batches))
+      return state, loss_seq[-1]
+
+    multi_step_fn = jax.jit(_multi, donate_argnums=(1,))
+
+  t = config.training
+
+  def _has_event(s):
+    return (s % t.log_freq == 0 or s % t.eval_freq == 0
+            or (s != 0 and s % t.snapshot_freq_for_preemption == 0)
+            or (s != 0 and (s % t.snapshot_freq == 0
+                            or s == num_train_steps)))
+
+  step = initial_step
+  while step <= num_train_steps:
+    if K > 1:
+      span = 0
+      while (span < K and step + span <= num_train_steps
+             and not _has_event(step + span)):
+        span += 1
+      if span > 1:
+        batches = _next_batches(train_iter, scaler, mesh, span)
+        rng, step_rng = jax.random.split(rng)
+        state, loss = multi_step_fn(step_rng, state, batches)
+        step += span
+        continue
+
     batch = _next_batch(train_iter, scaler, mesh)
     rng, step_rng = jax.random.split(rng)
     state, loss = train_step_fn(step_rng, state, batch)
@@ -140,6 +183,8 @@ def train(config, workdir: str):
             np.save(fout, np.clip(sample_np * 255, 0, 255).astype(np.uint8))
           save_image_grid(sample_np, os.path.join(this_sample_dir, "sample.png"))
 
+    step += 1
+
   return state
 
 
@@ -147,6 +192,18 @@ def _next_batch(it, scaler, mesh):
   item = next(it)
   batch = item[0] if isinstance(item, tuple) else item
   return mesh_lib.shard_batch(scaler(np.asarray(batch, np.float32)), mesh)
+
+
+def _next_batches(it, scaler, mesh, k: int):
+  """Stack k host batches into (k, B, ...) for one multi-step dispatch,
+  batch axis sharded over 'data', scan axis replicated."""
+  arrs = []
+  for _ in range(k):
+    item = next(it)
+    arrs.append(np.asarray(item[0] if isinstance(item, tuple) else item,
+                           np.float32))
+  stacked = scaler(np.stack(arrs))
+  return jax.device_put(stacked, mesh_lib.stacked_data_sharding(mesh))
 
 
 def sample(config, ckptdir: str, workdir: str):

@@ -56,6 +56,29 @@ def test_train_checkpoint_resume(tmp_path):
   assert np.isfinite(np.asarray(a)).all()
 
 
+def test_train_multistep_dispatch(tmp_path):
+  """tpu.steps_per_dispatch bundles event-free steps into one lax.scan
+  program; cadence artifacts must be identical to step-at-a-time."""
+  from b_pinn_kalman_filter_tpu.train import run_lib
+
+  config = _fast_config(tmp_path)
+  config.training.n_iters = 12
+  config.training.snapshot_freq = 12
+  config.training.snapshot_freq_for_preemption = 6
+  config.training.eval_freq = 6
+  config.training.log_freq = 6
+  config.training.snapshot_sampling = False
+  config.tpu.steps_per_dispatch = 4
+  workdir = str(tmp_path / "runk")
+  state = run_lib.train(config, workdir)
+  assert int(state.step) == 13  # steps 0..12 all executed
+  assert os.path.exists(os.path.join(workdir, "checkpoints", "checkpoint_1"))
+  assert os.path.exists(os.path.join(workdir, "checkpoints-meta",
+                                     "checkpoint"))
+  loss_leaf = jax.tree_util.tree_leaves(state.params)[0]
+  assert np.isfinite(np.asarray(loss_leaf)).all()
+
+
 def test_sample_mode(tmp_path):
   from b_pinn_kalman_filter_tpu.train import run_lib
 
