@@ -136,6 +136,13 @@ class NumpyLoader:
 _PREFETCH_END = object()
 
 
+class _PrefetchError:
+  """Sentinel carrying a producer-thread exception to the consumer."""
+
+  def __init__(self, exc: BaseException):
+    self.exc = exc
+
+
 class PrefetchLoader:
   """Double-buffering wrapper: a daemon thread produces batches into a
   bounded queue so host batch assembly overlaps device compute (the
@@ -155,24 +162,27 @@ class PrefetchLoader:
     q = queue.Queue(maxsize=self.depth)
     stop = threading.Event()
 
+    def _put(item):
+      while not stop.is_set():
+        try:
+          q.put(item, timeout=0.5)
+          return True
+        except queue.Full:
+          continue
+      return False
+
     def _produce():
+      # Wrapped-loader exceptions must reach the consumer: swallowing them
+      # into a clean end-of-stream makes the infinite train loop die with a
+      # bare StopIteration far from the real cause (ADVICE r2).
+      sentinel = _PREFETCH_END
       try:
         for item in iter(self.loader):
-          while not stop.is_set():
-            try:
-              q.put(item, timeout=0.5)
-              break
-            except queue.Full:
-              continue
-          if stop.is_set():
+          if not _put(item):
             return
-      finally:
-        while not stop.is_set():
-          try:
-            q.put(_PREFETCH_END, timeout=0.5)
-            return
-          except queue.Full:
-            continue
+      except BaseException as exc:  # re-raised in the consumer
+        sentinel = _PrefetchError(exc)
+      _put(sentinel)
 
     thread = threading.Thread(target=_produce, daemon=True)
     thread.start()
@@ -181,6 +191,8 @@ class PrefetchLoader:
         item = q.get()
         if item is _PREFETCH_END:
           return
+        if isinstance(item, _PrefetchError):
+          raise item.exc
         yield item
     finally:
       stop.set()

@@ -92,9 +92,10 @@ def norm_act(x, act: Callable, num_groups: int, dtype, fused: bool,
   the lane-alignment guard.
   """
   from b_pinn_kalman_filter_tpu.ops import groupnorm_pallas
+  from b_pinn_kalman_filter_tpu.ops.backend import is_tpu_backend
   act_name = _FUSABLE_ACTS.get(act)
   if (fused and act_name is not None
-      and (jax.default_backend() == 'tpu' or groupnorm_pallas.FORCE_INTERPRET)
+      and (is_tpu_backend() or groupnorm_pallas.FORCE_INTERPRET)
       and groupnorm_pallas.fits_fused_groupnorm(x.shape, num_groups)):
     return _FusedGroupNormAct(num_groups=num_groups, act_name=act_name,
                               dtype=dtype, name=name)(x)

@@ -183,8 +183,16 @@ def _pallas_groupnorm_act(x, scale, bias, num_groups, act, eps, interpret):
 
 
 def fits_fused_groupnorm(shape, num_groups: int) -> bool:
-  """Dispatch guard: 4D NHWC, lane-aligned channels, groups divide C."""
+  """Dispatch guard: 4D NHWC, lane-aligned channels, groups divide C, and
+  the minimum per-block working set (bb=1) fits the 10 MB VMEM budget that
+  :func:`_pick_batch_block` allocates against — otherwise the pallas_call
+  would fail at compile instead of falling back to flax GroupNorm
+  (ADVICE r2: e.g. 256x256x128 is ~80 MB/block even at bb=1)."""
   if len(shape) != 4:
     return False
-  C = shape[-1]
-  return C % 128 == 0 and num_groups > 0 and C % num_groups == 0
+  B, H, W, C = shape
+  if C % 128 != 0 or num_groups <= 0 or C % num_groups != 0:
+    return False
+  # Same bytes-per-element model as _pick_batch_block (bf16 in + f32 work
+  # + f32 out) at the smallest block.
+  return H * W * C * (2 + 4 + 4) < 10 * 1024 * 1024

@@ -178,7 +178,7 @@ def conv3x3_fast(x: jax.Array, kernel: jax.Array,
   cin, cout = kernel.shape[2], kernel.shape[3]
   if bias is None:
     bias = jnp.zeros((cout,), jnp.float32)
-  on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-  if on_tpu and wp.fits_fused_kernel(x.shape, cin, cout):
+  from b_pinn_kalman_filter_tpu.ops.backend import is_tpu_backend
+  if is_tpu_backend() and wp.fits_fused_kernel(x.shape, cin, cout):
     return _fused_conv(x, kernel, bias)
   return _direct_conv(x, kernel, bias)

@@ -123,11 +123,22 @@ def train(config, workdir: str):
 
   t = config.training
 
+  # Cadence predicates — single source of truth for BOTH the loop body's
+  # event handling below and the scan-dispatch gate: a new periodic event
+  # added here is automatically respected by the multi-step dispatch
+  # (ADVICE r2: the two were previously encoded separately).
+  _events = {
+      'log': lambda s: s % t.log_freq == 0,
+      'preempt_ckpt':
+          lambda s: s != 0 and s % t.snapshot_freq_for_preemption == 0,
+      'eval': lambda s: s % t.eval_freq == 0,
+      'snapshot':
+          lambda s: s != 0 and (s % t.snapshot_freq == 0
+                                or s == num_train_steps),
+  }
+
   def _has_event(s):
-    return (s % t.log_freq == 0 or s % t.eval_freq == 0
-            or (s != 0 and s % t.snapshot_freq_for_preemption == 0)
-            or (s != 0 and (s % t.snapshot_freq == 0
-                            or s == num_train_steps)))
+    return any(p(s) for p in _events.values())
 
   step = initial_step
   while step <= num_train_steps:
@@ -136,7 +147,12 @@ def train(config, workdir: str):
       while (span < K and step + span <= num_train_steps
              and not _has_event(step + span)):
         span += 1
-      if span > 1:
+      # Only dispatch the scan at the full span == K: every distinct span
+      # length is a separate XLA program, and with event freqs that are not
+      # multiples of K the partial spans would each pay a ~10-min remote
+      # compile for a ~40 ms dispatch saving (ADVICE r2).  Partial runs up
+      # to the next event go through the single-step program.
+      if span == K:
         batches = _next_batches(train_iter, scaler, mesh, span)
         rng, step_rng = jax.random.split(rng)
         state, loss = multi_step_fn(step_rng, state, batches)
@@ -147,15 +163,15 @@ def train(config, workdir: str):
     rng, step_rng = jax.random.split(rng)
     state, loss = train_step_fn(step_rng, state, batch)
 
-    if step % config.training.log_freq == 0 and is_main:
+    if _events['log'](step) and is_main:
       loss_val = float(loss)
       logging.info("step: %d, training_loss: %.5e", step, loss_val)
       writer.add_scalar("training_loss", loss_val, step)
 
-    if step != 0 and step % config.training.snapshot_freq_for_preemption == 0 and is_main:
+    if _events['preempt_ckpt'](step) and is_main:
       ckpt_lib.save_checkpoint(checkpoint_meta_dir, jax.device_get(state))
 
-    if step % config.training.eval_freq == 0:
+    if _events['eval'](step):
       eval_batch = _next_batch(eval_iter, scaler, mesh)
       rng, eval_rng = jax.random.split(rng)
       _, eval_loss = eval_step_fn(eval_rng, state, eval_batch)
@@ -163,8 +179,7 @@ def train(config, workdir: str):
         logging.info("step: %d, eval_loss: %.5e", step, float(eval_loss))
         writer.add_scalar("eval_loss", float(eval_loss), step)
 
-    if step != 0 and (step % config.training.snapshot_freq == 0
-                      or step == num_train_steps):
+    if _events['snapshot'](step):
       save_step = step // config.training.snapshot_freq
       if is_main:
         ckpt_lib.save_checkpoint(

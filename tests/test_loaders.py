@@ -68,6 +68,24 @@ def test_prefetch_early_exit_stops_producer():
   assert threading.active_count() <= before + 1
 
 
+def test_prefetch_propagates_producer_exception():
+  """A wrapped-loader failure must re-raise in the consumer, not truncate
+  the stream into a clean end (ADVICE r2: bare StopIteration far from the
+  real cause)."""
+
+  class _FailingLoader:
+    def __iter__(self):
+      yield np.zeros((2, 2), np.float32)
+      raise OSError("disk read failed")
+
+  import pytest
+  it = iter(PrefetchLoader(_FailingLoader(), depth=2))
+  next(it)  # first batch fine
+  with pytest.raises(OSError, match="disk read failed"):
+    for _ in it:
+      pass
+
+
 def test_infinite_loader_reshuffles_across_epochs():
   ds = _SquareDataset(8)
   it = iter(NumpyLoader(ds, 8, shuffle=True, seed=0))
