@@ -13,6 +13,13 @@ torchvision ``Inception3`` topology as a pure-jnp forward over a flat
   ``$BPKF_INCEPTION_WEIGHTS`` or ``$BPKF_DATA_DIR/inception_v3.{npz,pth}``.
 * With no weights on disk (this environment has no egress), callers fall
   back to the random-feature proxy in ``evaluation.py`` — clearly labeled.
+* Forward + converter are oracle-tested against an independently-built torch
+  Inception3 (tests/torch_inception_oracle.py, eval-mode BatchNorm2d, NCHW)
+  at 299^2 and on the resized-from-32^2 path (tests/test_evaluation.py).
+* In-block average pools divide by the UNPADDED window count
+  (count_include_pad=False) — the TF/FID-standard convention that
+  pytorch-fid also patches raw torchvision to; deliberate divergence from
+  torchvision's count_include_pad=True.
 
 Layer/channel topology follows the public torchvision Inception3 definition
 (Conv2d_1a..Mixed_7c + fc); features = 2048-dim global-avg pool, logits =

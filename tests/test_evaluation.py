@@ -92,6 +92,69 @@ def test_inception_params_npz_roundtrip(tmp_path):
   assert inception.load_inception_params(path) is not None
 
 
+def _torch_pool_logits(model, x_nchw):
+  import torch
+
+  with torch.no_grad():
+    pool, logits = model(x_nchw)
+  return pool.numpy(), logits.numpy()
+
+
+def test_inception_torch_oracle_parity_299():
+  """Full-network parity vs an independently-built torch Inception3 (NCHW
+  modules, eval-mode BatchNorm2d) at the native 299^2 resolution: validates
+  the BN-folding converter (state_dict-key compatible with torchvision),
+  every Mixed block's wiring/padding, and the pooling variants.
+  Reference FID intent: /root/reference/evaluation.py:29-56."""
+  import torch
+
+  from b_pinn_kalman_filter_tpu.train import inception
+  from tests.torch_inception_oracle import make_oracle
+
+  model = make_oracle()
+  params = inception.params_from_torch_state_dict(model.state_dict())
+
+  rng = np.random.default_rng(0)
+  imgs01 = rng.random((2, 299, 299, 3), dtype=np.float32)
+  pool_j, logits_j = (np.asarray(a) for a in
+                      inception.inception_forward(params, imgs01))
+
+  # Torch sees exactly the preprocessing our forward applies: [0,1]->[-1,1].
+  x = torch.from_numpy(imgs01.transpose(0, 3, 1, 2)) * 2.0 - 1.0
+  pool_t, logits_t = _torch_pool_logits(model, x)
+
+  np.testing.assert_allclose(pool_j, pool_t, rtol=1e-3, atol=1e-4)
+  np.testing.assert_allclose(logits_j, logits_t, rtol=1e-3, atol=1e-4)
+
+
+def test_inception_torch_oracle_parity_resized_32():
+  """The resized-from-32^2 path (the CIFAR FID path): pins the resize
+  method (bilinear, half-pixel, no antialias) and the [0,1]->[-1,1] value
+  convention against the same ops in torch."""
+  import torch
+  import torch.nn.functional as F
+
+  from b_pinn_kalman_filter_tpu.train import inception
+  from tests.torch_inception_oracle import make_oracle
+
+  model = make_oracle()
+  params = inception.params_from_torch_state_dict(model.state_dict())
+
+  rng = np.random.default_rng(1)
+  imgs01 = rng.random((2, 32, 32, 3), dtype=np.float32)
+  pool_j, logits_j = (np.asarray(a) for a in
+                      inception.inception_forward(params, imgs01))
+
+  x = torch.from_numpy(imgs01.transpose(0, 3, 1, 2))
+  x = F.interpolate(x, size=(299, 299), mode='bilinear',
+                    align_corners=False, antialias=False)
+  x = x * 2.0 - 1.0
+  pool_t, logits_t = _torch_pool_logits(model, x)
+
+  np.testing.assert_allclose(pool_j, pool_t, rtol=1e-3, atol=1e-4)
+  np.testing.assert_allclose(logits_j, logits_t, rtol=1e-3, atol=1e-4)
+
+
 def test_get_feature_extractor_labels_proxy():
   from b_pinn_kalman_filter_tpu.train import evaluation as ev
 
