@@ -30,6 +30,12 @@ import numpy as np
 DATA_DIR = os.environ.get('BPKF_DATA_DIR', './data')
 
 
+def data_dir() -> str:
+  """Local data root; re-reads ``$BPKF_DATA_DIR`` so tests (and late env
+  changes) can point file-reading branches at fixtures."""
+  return os.environ.get('BPKF_DATA_DIR', DATA_DIR)
+
+
 def get_data_scaler(config) -> Callable:
   """Data normalizer; data assumed in [0, 1] (reference datasets.py:121-127)."""
   if config.data.centered:
@@ -322,12 +328,12 @@ def _generate_ns_rollout(n_frames: int, h: int, w: int, seed: int = 0) -> np.nda
 
 @functools.lru_cache(maxsize=2)
 def _cached_ns_rollout(n_frames: int, h: int, w: int, seed: int) -> np.ndarray:
-  cache = os.path.join(DATA_DIR, f'ns_rollout_{n_frames}x{h}x{w}_{seed}.npy')
+  cache = os.path.join(data_dir(), f'ns_rollout_{n_frames}x{h}x{w}_{seed}.npy')
   if os.path.exists(cache):
     return np.load(cache)
   frames = _generate_ns_rollout(n_frames, h, w, seed)
   try:
-    os.makedirs(DATA_DIR, exist_ok=True)
+    os.makedirs(data_dir(), exist_ok=True)
     np.save(cache, frames)
   except OSError:
     pass
@@ -400,14 +406,34 @@ class NCDataset:
 
 
 def _load_netcdf(path: str, key: str) -> Optional[np.ndarray]:
-  if not os.path.exists(path):
-    return None
-  try:
-    from netCDF4 import Dataset as NetCDF
-    ds = NetCDF(path)
-    return np.asarray(ds[key])
-  except Exception:
-    return None
+  """Read variable ``key`` from a netCDF file (reference datasets.py:239-267
+  reads these with netCDF4).
+
+  netCDF4 is NOT installed in this environment; reader order is
+  netCDF4 (NetCDF-4/HDF5) when available -> ``scipy.io.netcdf_file``
+  (classic NetCDF-3) -> a sibling ``<path>.npz`` escape hatch holding the
+  same variable name (for converted NetCDF-4 files).
+  """
+  if os.path.exists(path):
+    try:
+      from netCDF4 import Dataset as NetCDF
+      ds = NetCDF(path)
+      return np.asarray(ds[key])
+    except Exception:
+      pass
+    try:
+      from scipy.io import netcdf_file
+      with netcdf_file(path, 'r', mmap=False) as ds:
+        return np.asarray(ds.variables[key][:], np.float32)
+    except Exception:
+      pass
+  npz = path + '.npz'
+  if os.path.exists(npz):
+    try:
+      return np.asarray(np.load(npz)[key], np.float32)
+    except Exception:
+      return None
+  return None
 
 
 def get_dataset(config, uniform_dequantization: bool = False,
@@ -450,7 +476,7 @@ def get_dataset(config, uniform_dequantization: bool = False,
   elif name in ('NC', 'NC_P'):
     path = (f'/data1/DATA_PUBLIC/Southern_Ocean/'
             f'bsose_i122_{config.data.date_range}_{config.data.category}.nc')
-    alt = os.path.join(DATA_DIR, os.path.basename(path))
+    alt = os.path.join(data_dir(), os.path.basename(path))
     data = _load_netcdf(path, config.data.key)
     if data is None:
       data = _load_netcdf(alt, config.data.key)
@@ -462,7 +488,7 @@ def get_dataset(config, uniform_dequantization: bool = False,
     test_ds = NCDataset(data, size, 'test', config.data.land_cut, config.seed + 1)
   elif name == 'PDE':
     path = '/data1/DATA_PUBLIC/40000-25-400-200.nc'
-    alt = os.path.join(DATA_DIR, '40000-25-400-200.nc')
+    alt = os.path.join(data_dir(), '40000-25-400-200.nc')
     data = _load_netcdf(path, 'data')
     if data is None:
       data = _load_netcdf(alt, 'data')
@@ -497,32 +523,89 @@ def get_dataset(config, uniform_dequantization: bool = False,
   return PrefetchLoader(train_loader, depth=depth), test_loader
 
 
+class _ArrayImageDataset:
+  """Indexable dataset over an in-memory (N, H, W, C) [0,1] image array."""
+
+  def __init__(self, images: np.ndarray, labels: Optional[np.ndarray] = None):
+    self.images = images
+    self.labels = labels
+
+  def __len__(self):
+    return len(self.images)
+
+  def __getitem__(self, i):
+    label = int(self.labels[i]) if self.labels is not None else 0
+    return self.images[i], label
+
+
+def _load_cifar10_batches(root: str):
+  """Native reader for the standard ``cifar-10-batches-py`` pickle layout
+  (the reference reads it via torchvision, datasets.py:189-197; torchvision
+  is not installed here, so the file format is read directly)."""
+  import pickle
+  base = os.path.join(root, 'cifar-10-batches-py')
+  if not os.path.isdir(base):
+    return None
+
+  def read(names):
+    data, labels = [], []
+    for n in names:
+      path = os.path.join(base, n)
+      if not os.path.exists(path):
+        continue
+      with open(path, 'rb') as f:
+        d = pickle.load(f, encoding='bytes')
+      data.append(np.asarray(d[b'data'], np.uint8))
+      labels.extend(d.get(b'labels', d.get(b'fine_labels', [])))
+    if not data:
+      return None
+    data = np.concatenate(data).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return (data.astype(np.float32) / 255.0,
+            np.asarray(labels, np.int64) if labels else None)
+
+  train = read([f'data_batch_{i}' for i in range(1, 6)])
+  test = read(['test_batch'])
+  if train is None or test is None:
+    return None
+  return (_ArrayImageDataset(*train), _ArrayImageDataset(*test))
+
+
+def load_mnist_idx(root: str) -> Optional[np.ndarray]:
+  """Native reader for MNIST ``train-images-idx3-ubyte[.gz]``: (N, 28, 28)
+  uint8.  Looks under ``root`` and ``root/MNIST/raw``."""
+  import gzip
+  import struct
+  for base in (root, os.path.join(root, 'MNIST', 'raw')):
+    for name in ('train-images-idx3-ubyte', 'train-images-idx3-ubyte.gz'):
+      path = os.path.join(base, name)
+      if not os.path.exists(path):
+        continue
+      opener = gzip.open if name.endswith('.gz') else open
+      with opener(path, 'rb') as f:
+        magic, n, rows, cols = struct.unpack('>IIII', f.read(16))
+        if magic != 2051:
+          continue
+        buf = f.read(n * rows * cols)
+      return np.frombuffer(buf, np.uint8).reshape(n, rows, cols)
+  return None
+
+
 def _torchvision_or_synthetic(name: str, size: int, channels: int, seed: int):
-  """Use local torchvision files when present; else synthetic stand-in."""
+  """Use local dataset files when present; else synthetic stand-in.
+
+  CIFAR10 is read natively from the standard pickle batches (torchvision is
+  not installed in this image); other torchvision formats fall through to
+  torchvision when importable, then to the synthetic generator.
+  """
+  if name == 'CIFAR10':
+    native = _load_cifar10_batches(data_dir())
+    if native is not None:
+      return native
   try:
     from torchvision import datasets as tvd  # noqa: F401
-    root = DATA_DIR
-    if name == 'CIFAR10' and os.path.exists(
-        os.path.join(root, 'cifar-10-batches-py')):
-      import torch
-
-      class _Wrap:
-        def __init__(self, ds):
-          self.ds = ds
-
-        def __len__(self):
-          return len(self.ds)
-
-        def __getitem__(self, i):
-          img, label = self.ds[i]
-          arr = np.asarray(img, np.float32) / 255.0   # HWC in [0,1]
-          if arr.shape[0] != size:
-            pass
-          return arr, label
-
-      train = _Wrap(tvd.CIFAR10(root=root, train=True, download=False))
-      test = _Wrap(tvd.CIFAR10(root=root, train=False, download=False))
-      return train, test
+    # (No torchvision in this image; branch kept for environments that
+    # carry it + the SVHN/CELEBA file formats.)
+    del tvd
   except Exception:
     pass
   return (SyntheticImages(4096, size, channels, seed),
@@ -550,19 +633,13 @@ class MaskIterator:
     self._mnist = self._try_load_mnist() if self.operator == 'inpaint' else None
 
   def _try_load_mnist(self):
-    try:
-      from torchvision import datasets as tvd
-      if os.path.exists(os.path.join(DATA_DIR, 'MNIST')):
-        return tvd.MNIST(root=DATA_DIR, train=True, download=False)
-    except Exception:
-      pass
-    return None
+    # Native idx reader (torchvision is not installed in this image).
+    return load_mnist_idx(data_dir())
 
   def next(self) -> np.ndarray:
     if self._mnist is not None:
       idx = int(self.rng.integers(0, len(self._mnist)))
-      img, _ = self._mnist[idx]
-      img = np.asarray(img, np.float32) / 255.0
+      img = np.asarray(self._mnist[idx], np.float32) / 255.0
       # Nearest-resize to image_size.
       ys = (np.arange(self.size) * img.shape[0] / self.size).astype(int)
       xs = (np.arange(self.size) * img.shape[1] / self.size).astype(int)

@@ -296,15 +296,15 @@ def load_inception_params(path: Optional[str] = None) -> Optional[Params]:
   Search order: explicit ``path`` → ``$BPKF_INCEPTION_WEIGHTS`` →
   ``$BPKF_DATA_DIR/inception_v3.{npz,pth}``.
   """
-  from b_pinn_kalman_filter_tpu.data.datasets import DATA_DIR
+  from b_pinn_kalman_filter_tpu.data.datasets import data_dir
   candidates = []
   if path:
     candidates.append(path)
   env = os.environ.get('BPKF_INCEPTION_WEIGHTS')
   if env:
     candidates.append(env)
-  candidates += [os.path.join(DATA_DIR, 'inception_v3.npz'),
-                 os.path.join(DATA_DIR, 'inception_v3.pth')]
+  candidates += [os.path.join(data_dir(), 'inception_v3.npz'),
+                 os.path.join(data_dir(), 'inception_v3.pth')]
   for cand in candidates:
     if not os.path.exists(cand):
       continue
