@@ -30,6 +30,13 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
   # XLA's already-fused norm chain saves (BASELINE.md round 2).
   tpu.fused_groupnorm = False
   tpu.donate_state = True
+  # PINN phase-2 residual gradients: chunk size for microbatched gradient
+  # accumulation over the batch (pinn/losses.py:get_pinn_step_fn).  0 =
+  # full-batch literal nested grads; C > 0 scans B/C chunks of the fused
+  # shared-vjp/HVP residual schedule (exact same values/grads, fewer
+  # network passes, live graph bounded by C — the schedule that OOMs
+  # full-batch fits this way).
+  tpu.pinn_microbatch = 0
   # Bundle event-free training steps into one lax.scan dispatch
   # (run_lib.train).  1 = reference step-at-a-time semantics; raise when
   # per-dispatch latency matters (e.g. 32 hides the ~40 ms tunnel

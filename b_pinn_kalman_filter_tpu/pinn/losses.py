@@ -118,10 +118,31 @@ def get_prelim_step_fn(config, model: pinn_mod.PINN,
 def get_pinn_step_fn(config, model: pinn_mod.PINN,
                      tx: optax.GradientTransformation, train: bool) -> Callable:
   """Phase-2 step: data losses + NS-residual regularization
-  (reference losses.py:332-386; Re=1e7, losses.py:345)."""
+  (reference losses.py:332-386; Re=1e7, losses.py:345).
+
+  **Microbatched residual gradients** (``config.tpu.pinn_microbatch = C``,
+  0 = off): the NS-residual term is a mean over batch samples and the
+  networks are batch-independent (InstanceNorm), so its parameter gradient
+  decomposes exactly into an average of per-chunk gradients.  A
+  ``lax.scan`` over B/C chunks accumulates grads of the *fused*
+  (shared-vjp + HVP) residual schedule — the live derivative graph scales
+  with C, which is what lets the pass-count-optimal formulation fit HBM
+  (full-batch it OOMs; pinn/pinn.py equation_mse docstring).  Values and
+  gradients are exact, bit-identical modulo float summation order
+  (tests/test_pinn_residual_parity.py).
+  """
   variance = config.inverse.variance
   Re = 10000000.0
   pinn_weight = config.training.pinn_loss_weight
+  microbatch = int(getattr(getattr(config, 'tpu', None), 'pinn_microbatch', 0)
+                   or 0)
+
+  def data_loss_fn(params, f1m, f2m, x, y, t, target):
+    flow_pred, pres_pred = model.apply({'params': params}, f1m, f2m, x, y, t,
+                                       train=train)
+    v_loss = multiscale_data_mse(flow_pred, target)
+    p_loss = pressure_data_mse(pres_pred, target)
+    return v_loss + p_loss
 
   def loss_fn(rng, params, mask, batch):
     f1, f2, x, y, t, target = batch
@@ -129,21 +150,64 @@ def get_pinn_step_fn(config, model: pinn_mod.PINN,
     f1m = _mask_and_noise(r1, f1, mask, variance)
     f2m = _mask_and_noise(r2, f2, mask, variance)
 
-    flow_pred, pres_pred = model.apply({'params': params}, f1m, f2m, x, y, t,
-                                       train=train)
-    v_loss = multiscale_data_mse(flow_pred, target)
-    p_loss = pressure_data_mse(pres_pred, target)
-    data_loss = v_loss + p_loss
-
+    data_loss = data_loss_fn(params, f1m, f2m, x, y, t, target)
     pinn_loss = pinn_mod.equation_mse_from_outputs(
         model, params, f1m, f2m, x, y, t, Re, train=train) * pinn_weight
     return pinn_loss + data_loss, (pinn_loss, data_loss)
 
+  def value_and_grad_microbatched(rng, params, mask, batch):
+    """Exact (loss, aux), grads with the residual term scanned over
+    batch chunks of size ``microbatch``."""
+    f1, f2, x, y, t, target = batch
+    r1, r2 = jax.random.split(rng)
+    f1m = _mask_and_noise(r1, f1, mask, variance)
+    f2m = _mask_and_noise(r2, f2, mask, variance)
+
+    data_loss, g_data = jax.value_and_grad(
+        lambda p: data_loss_fn(p, f1m, f2m, x, y, t, target))(params)
+
+    B = f1.shape[0]
+    C = microbatch
+    n_chunks = max(B // C, 1)
+    C = B // n_chunks  # degrade gracefully if B < microbatch
+
+    def to_chunks(a):
+      return a.reshape((n_chunks, C) + a.shape[1:])
+
+    chunks = jax.tree_util.tree_map(to_chunks, (f1m, f2m, x, y, t))
+
+    def chunk_grad(params, cf1, cf2, cx, cy, ct):
+      return jax.value_and_grad(
+          lambda p: pinn_mod.equation_mse_from_outputs(
+              model, p, cf1, cf2, cx, cy, ct, Re, train=train,
+              fused=True))(params)
+
+    def body(carry, chunk):
+      l_acc, g_acc = carry
+      cf1, cf2, cx, cy, ct = chunk
+      l, g = chunk_grad(params, cf1, cf2, cx, cy, ct)
+      g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+      return (l_acc + l, g_acc), None
+
+    g_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (l_sum, g_sum), _ = jax.lax.scan(body, (jnp.zeros(()), g_zero), chunks)
+
+    scale = pinn_weight / n_chunks
+    pinn_loss = l_sum * scale
+    grads = jax.tree_util.tree_map(lambda gd, gp: gd + gp * scale,
+                                   g_data, g_sum)
+    loss = pinn_loss + data_loss
+    return (loss, (pinn_loss, data_loss)), grads
+
   if train:
 
     def step_fn(rng, state: TrainState, mask, batch):
-      (loss, (pinn_loss, data_loss)), grads = jax.value_and_grad(
-          lambda p: loss_fn(rng, p, mask, batch), has_aux=True)(state.params)
+      if microbatch > 0:
+        (loss, (pinn_loss, data_loss)), grads = value_and_grad_microbatched(
+            rng, state.params, mask, batch)
+      else:
+        (loss, (pinn_loss, data_loss)), grads = jax.value_and_grad(
+            lambda p: loss_fn(rng, p, mask, batch), has_aux=True)(state.params)
 
       # NaN-grad guard (reference losses.py:361-366): skip the update if any
       # gradient is non-finite.

@@ -130,6 +130,78 @@ def equation_mse(apply_uvp: Callable, x: Array, y: Array, t: Array,
   return (jnp.mean(f_x ** 2) + jnp.mean(f_y ** 2) + jnp.mean(f_mass ** 2))
 
 
+def equation_mse_fused(apply_uvp: Callable, x: Array, y: Array, t: Array,
+                       Re: float) -> Array:
+  """Exact pass-count reduction of :func:`equation_mse` — identical values
+  and gradients (tests/test_pinn_residual_parity.py), ~2-3x fewer network
+  passes.
+
+  * All first-order partials come from ONE shared linearization
+    (``jax.vjp``) pulled back through three output cotangents, instead of
+    three independent ``jax.grad`` calls each redoing the forward.
+  * Each Laplacian term is a forward-over-reverse HVP row-sum:
+    ``u_xx = jvp(x' -> d sum(u)/dx', ones)`` — the Hessian-row-sum H.1 the
+    reference's ``grad(u_x.sum(), x)`` computes (sum-then-grad semantics).
+
+  **Memory caveat (measured round 2):** differentiating this w.r.t. the
+  network parameters at full phase-2 scale (64^2, batch 64) transposes the
+  shared linearizations and OOMs HBM (47.7G vs 15.75G).  Use it ONLY under
+  the microbatched gradient-accumulation schedule in
+  ``pinn/losses.py:get_pinn_step_fn`` (``config.tpu.pinn_microbatch``),
+  which bounds the live graph to one batch chunk.  Reference semantics
+  anchor: pinn_kalman/pinn.py:72-111.
+  """
+  (u, v, p), pullback = jax.vjp(lambda x_, y_, t_: apply_uvp(x_, y_, t_),
+                                x, y, t)
+  one_u = jnp.ones_like(u)
+  one_v = jnp.ones_like(v)
+  one_p = jnp.ones_like(p)
+  zero_u = jnp.zeros_like(u)
+  zero_v = jnp.zeros_like(v)
+  zero_p = jnp.zeros_like(p)
+
+  u_x, u_y, u_t = pullback((one_u, zero_v, zero_p))
+  v_x, v_y, v_t = pullback((zero_u, one_v, zero_p))
+  # p_sum differentiates only (x, y) in the reference; the t cotangent is
+  # simply unused (identical semantics).
+  p_x, p_y, _ = pullback((zero_u, zero_v, one_p))
+
+  one_x = jnp.ones_like(x)
+  one_y = jnp.ones_like(y)
+
+  def grad_x_of(field_idx):
+    def g(x_):
+      out, pb = jax.vjp(lambda xx: apply_uvp(xx, y, t), x_)
+      cot = tuple(jnp.ones_like(o) if i == field_idx else jnp.zeros_like(o)
+                  for i, o in enumerate(out))
+      return pb(cot)[0]
+    return g
+
+  def grad_y_of(field_idx):
+    def g(y_):
+      out, pb = jax.vjp(lambda yy: apply_uvp(x, yy, t), y_)
+      cot = tuple(jnp.ones_like(o) if i == field_idx else jnp.zeros_like(o)
+                  for i, o in enumerate(out))
+      return pb(cot)[0]
+    return g
+
+  # Hessian-row-sums via forward-over-reverse (jvp of a vjp with an
+  # all-ones tangent): d/dx . 1 of [d sum(field)/dx].
+  _, u_xx = jax.jvp(grad_x_of(0), (x,), (one_x,))
+  _, u_yy = jax.jvp(grad_y_of(0), (y,), (one_y,))
+  _, v_xx = jax.jvp(grad_x_of(1), (x,), (one_x,))
+  _, v_yy = jax.jvp(grad_y_of(1), (y,), (one_y,))
+
+  u_t = u_t[:, None, None, None]
+  v_t = v_t[:, None, None, None]
+
+  f_x = u_t + (u * u_x + v * u_y) + p_x - 1.0 / Re * (u_xx + u_yy)
+  f_y = v_t + (u * v_x + v * v_y) + p_y - 1.0 / Re * (v_xx + v_yy)
+  f_mass = u_x + v_y
+
+  return (jnp.mean(f_x ** 2) + jnp.mean(f_y ** 2) + jnp.mean(f_mass ** 2))
+
+
 def make_uvp_fn(model: PINN, params, f1, f2, size=None,
                 train: bool = False) -> Callable:
   """Build the pure (x, y, t) -> (u, v, p) function for equation_mse."""
@@ -144,8 +216,13 @@ def make_uvp_fn(model: PINN, params, f1, f2, size=None,
 
 
 def equation_mse_from_outputs(model: PINN, params, f1, f2, x, y, t,
-                              Re: float, train: bool = False) -> Array:
+                              Re: float, train: bool = False,
+                              fused: bool = False) -> Array:
   """Convenience: residual loss recomputing the forward under grad
-  (matches reference get_pinn_step_fn usage, losses.py:345)."""
-  return equation_mse(make_uvp_fn(model, params, f1, f2, train=train),
-                      x, y, t, Re)
+  (matches reference get_pinn_step_fn usage, losses.py:345).
+
+  ``fused=True`` selects the shared-vjp/HVP schedule (equation_mse_fused)
+  — exact, but only safe under microbatched outer gradients (see its
+  docstring)."""
+  fn = equation_mse_fused if fused else equation_mse
+  return fn(make_uvp_fn(model, params, f1, f2, train=train), x, y, t, Re)

@@ -102,3 +102,89 @@ def test_equation_mse_param_gradients_match():
                                                    1e4))(k0)
   np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
                              rtol=1e-4, atol=1e-6)
+
+
+def test_fused_equation_mse_matches_literal():
+  """Shared-vjp + forward-over-reverse HVP schedule == literal values."""
+  apply_uvp = _mini_convnet_uvp()
+  rng = np.random.default_rng(3)
+  B, S = 2, 8
+  xy = np.linspace(0, 1, S, dtype=np.float32)
+  x = jnp.asarray(np.broadcast_to(xy[None, None, :, None], (B, S, S, 1)))
+  y = jnp.asarray(np.broadcast_to(xy[None, :, None, None], (B, S, S, 1)))
+  x = x + jnp.asarray(rng.random((B, S, S, 1)), jnp.float32) * 0.01
+  y = y + jnp.asarray(rng.random((B, S, S, 1)), jnp.float32) * 0.01
+  t = jnp.asarray(rng.random(B), jnp.float32)
+  got = pinn_mod.equation_mse_fused(apply_uvp, x, y, t, 1e4)
+  want = _equation_mse_literal(apply_uvp, x, y, t, 1e4)
+  np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_fused_param_gradients_match():
+  """Outer parameter gradients of the fused schedule == literal."""
+  rng = np.random.default_rng(4)
+  B, S = 2, 6
+  xy = np.linspace(0, 1, S, dtype=np.float32)
+  x = jnp.asarray(np.broadcast_to(xy[None, None, :, None], (B, S, S, 1)))
+  y = jnp.asarray(np.broadcast_to(xy[None, :, None, None], (B, S, S, 1)))
+  t = jnp.asarray(rng.random(B), jnp.float32)
+  k0 = jnp.asarray(rng.standard_normal((3, 3, 3, 3)) * 0.3, jnp.float32)
+
+  def make_uvp(k):
+    def apply_uvp(x_, y_, t_):
+      tb = jnp.broadcast_to(t_[:, None, None, None], x_.shape)
+      h = jnp.concatenate([x_ * y_, y_, tb + x_], axis=-1)
+      h = jax.lax.conv_general_dilated(h, k, (1, 1), 'SAME',
+                                       dimension_numbers=('NHWC', 'HWIO',
+                                                          'NHWC'))
+      h = jnp.sin(h)
+      return h[..., 0:1], h[..., 1:2], h[..., 2:3]
+    return apply_uvp
+
+  g_fused = jax.grad(lambda k: pinn_mod.equation_mse_fused(
+      make_uvp(k), x, y, t, 1e4))(k0)
+  g_lit = jax.grad(lambda k: _equation_mse_literal(
+      make_uvp(k), x, y, t, 1e4))(k0)
+  np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_lit),
+                             rtol=1e-4, atol=1e-6)
+
+
+def test_microbatched_pinn_step_matches_full():
+  """The microbatched (scan-accumulated, fused-residual) phase-2 train step
+  produces the same losses and updated params as the full-batch literal
+  step — exactness of the gradient-accumulation schedule end-to-end."""
+  from b_pinn_kalman_filter_tpu.pinn import losses as pinn_losses
+  from b_pinn_kalman_filter_tpu.pinn.pinn_lib import init_pinn
+  from b_pinn_kalman_filter_tpu.train import state as state_lib
+  from tests.test_pinn import tiny_pinn_config, _batch
+
+  config = tiny_pinn_config()
+  config.training.batch_size = 4
+  model, variables = init_pinn(config, jax.random.PRNGKey(0))
+  tx = pinn_losses.get_pinn_optimizer(config, lr_mul_pres=0.005)
+  mask = jnp.ones((config.data.image_size, config.data.image_size, 1))
+  batch = _batch(config)
+
+  results = {}
+  for mb in (0, 2):
+    config.tpu.pinn_microbatch = mb
+    state = state_lib.create_train_state(variables['params'], tx,
+                                         config.model.ema_rate)
+    step_fn = jax.jit(pinn_losses.get_pinn_step_fn(config, model, tx, True))
+    new_state, (loss, pinn_l, data_l) = step_fn(jax.random.PRNGKey(1), state,
+                                                mask, batch)
+    results[mb] = (new_state, float(loss), float(pinn_l), float(data_l))
+
+  (s0, l0, pl0, dl0), (s2, l2, pl2, dl2) = results[0], results[2]
+  np.testing.assert_allclose(l2, l0, rtol=1e-5)
+  # The fused schedule reorders the f32 residual reduction; at init the
+  # residual is ~1e-5, so summation-order noise shows up at ~1e-3 relative
+  # (measured 1.2e-8 absolute).  Mathematically the schedules are
+  # identical (test_fused_equation_mse_matches_literal).
+  np.testing.assert_allclose(pl2, pl0, rtol=5e-3, atol=1e-7)
+  np.testing.assert_allclose(dl2, dl0, rtol=1e-5)
+  flat0 = jax.tree_util.tree_leaves(s0.params)
+  flat2 = jax.tree_util.tree_leaves(s2.params)
+  for a, b in zip(flat0, flat2):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-3, atol=1e-6)
