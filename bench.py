@@ -22,6 +22,7 @@ and its block_until_ready does not reliably synchronize.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +32,22 @@ import numpy as np
 A100_SAMPLING_IMGS_PER_SEC = 2.2
 A100_TRAIN_IMGS_PER_SEC = 675.0
 A100_PINN_RESIDUAL_PTS_PER_SEC = 1.0e6  # see module docstring derivation
+
+# Speed-of-light for the headline program at the reference's exact NFE
+# semantics (BASELINE.md round-2 ablation): N=1000 predictor evals x 18.9
+# GFLOP/image (XLA cost analysis, 57.6M DDPM++ at 32^2) on this chip's
+# ~197 bf16 TFLOP/s peak => batch-64 takes >= 6.14 s at 100% MFU with zero
+# overhead = 10.42 imgs/sec/chip.  The >=5x north star (11 imgs/sec) is
+# physically unreachable without changing the sampler's semantics; the
+# fraction-of-SOL line records how close the sampler is to the hardware
+# ceiling.
+SPEED_OF_LIGHT_IMGS_PER_SEC = 10.42
+
+_BENCH_START = time.monotonic()
+
+
+def _elapsed():
+  return time.monotonic() - _BENCH_START
 
 
 def _emit(metric, value, unit, baseline):
@@ -168,27 +185,53 @@ def bench_sampling():
   dt = min(times)
 
   n_chips = jax.device_count()
+  value = batch / dt / n_chips
+  # Speed-of-light fraction (VERDICT r2 Next #8): the driver-visible record
+  # of the round-2 MFU analysis, not just BASELINE.md prose.
+  _emit("pc_sampling_fraction_of_speed_of_light",
+        value / SPEED_OF_LIGHT_IMGS_PER_SEC,
+        "fraction of 100%-MFU fixed-NFE chip peak (10.42 imgs/sec)", 1.0)
   return _emit("pc_sampling_imgs_per_sec_per_chip_cifar10_ddpmpp_n1000",
-               batch / dt / n_chips, "imgs/sec/chip",
+               value, "imgs/sec/chip",
                A100_SAMPLING_IMGS_PER_SEC)
 
 
-def _run_secondary(name: str):
+# Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
+# server-side remote compiles, no persistent cache so every process pays).
+# Round-2/3 measurements: train ~700 s, PINN phase-2 literal ~1820 s /
+# microbatched-fused schedule substantially less (BASELINE.md).
+_EXPECTED_SECONDARY_S = {'train': 800, 'pinn': 1900}
+
+
+def _run_secondary(name: str, deadline: float):
   """Run one secondary bench in a subprocess with a hard timeout.
 
   Remote-compile stalls on the TPU tunnel block at 0% CPU and are not
   interruptible in-process (SIGALRM never fires inside the RPC), so each
-  secondary metric gets its own process; the headline sampling metric
-  always runs last in the parent regardless of their fate.  Only one
-  process touches the TPU at a time (sequential).
+  secondary metric gets its own process.  Only one process touches the TPU
+  at a time (sequential).
+
+  Deadline handling (VERDICT r2 Next #2 — BENCH_r02 hit the driver's
+  timeout, rc=124, losing the secondaries): the whole bench works against
+  ``BENCH_DEADLINE`` seconds; a secondary that cannot plausibly finish in
+  the remaining budget is skipped with an explanatory JSON line instead of
+  silently eating the driver's timeout, and retries only happen when the
+  budget allows a second attempt.
   """
-  import os
   import subprocess
   import sys
-  # PINN phase-2 alone measured 1817 s (compile-dominated, BASELINE.md);
-  # leave headroom.
-  timeout = int(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700'))
+  expected = _EXPECTED_SECONDARY_S.get(name, 900)
   for attempt in range(2):  # tunnel stream errors are transient — retry once
+    remaining = deadline - _elapsed()
+    if remaining < 0.6 * expected:
+      print(json.dumps({
+          "metric": f"bench_{name}_skipped",
+          "error": (f"budget: {remaining:.0f}s left < expected ~{expected}s "
+                    "(compile-dominated; see BASELINE.md for hand-run value)"),
+      }), flush=True)
+      return
+    timeout = int(min(float(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700')),
+                      max(remaining - 30, 120)))
     try:
       proc = subprocess.run([sys.executable, os.path.abspath(__file__),
                              '--only', name],
@@ -217,6 +260,9 @@ def main():
     {'train': bench_train, 'pinn': bench_pinn,
      'sampling': bench_sampling}[which]()
     return
+  # Whole-bench budget: stages that don't fit are skipped with a JSON
+  # explanation rather than running into the driver's hard timeout.
+  deadline = float(os.environ.get('BENCH_DEADLINE', '3100'))
   # Headline FIRST (so it exists even if the driver kills a long secondary
   # bench), then re-printed after every secondary so the driver's
   # last-JSON-line tail-parse lands on it at any interruption point.
@@ -227,7 +273,7 @@ def main():
                            "error": f"{type(e).__name__}: {e}"[:200]})
     print(headline, flush=True)
   for name in ('train', 'pinn'):
-    _run_secondary(name)
+    _run_secondary(name, deadline)
     print(headline, flush=True)
 
 
