@@ -91,6 +91,14 @@ def equation_mse(apply_uvp: Callable, x: Array, y: Array, t: Array,
   are what XLA can actually schedule within HBM: each sum-then-grad
   subgraph is freed before the next, so "redundant" forwards are the
   memory-optimal schedule.  Keep the parity test if revisiting.
+
+  Round 3 closed the question: microbatched gradient accumulation
+  (``tpu.pinn_microbatch``) makes schedule (a) fit HBM, but the TPU
+  compiler is OOM-killed on the resulting program at reference scale, and
+  at a control scale where both compile, (a) runs ~2x SLOWER than this
+  literal formulation (see :func:`equation_mse_fused` docstring +
+  BASELINE.md round-3 section).  This literal transcription is the
+  schedule of record on TPU.
   """
 
   def u_sum(x_, y_, t_):
@@ -150,6 +158,18 @@ def equation_mse_fused(apply_uvp: Callable, x: Array, y: Array, t: Array,
   ``pinn/losses.py:get_pinn_step_fn`` (``config.tpu.pinn_microbatch``),
   which bounds the live graph to one batch chunk.  Reference semantics
   anchor: pinn_kalman/pinn.py:72-111.
+
+  **TPU verdict (measured round 3, real chip — this schedule LOSES; keep
+  it off):** the microbatched step at reference scale (64^2, batch 64,
+  C=16) fits HBM but the server-side TPU compiler itself is killed
+  (SIGKILL after 22 min on the 6.2 MB MLIR).  At a 32^2/batch-16 control
+  scale where both schedules compile, fused is ~2x SLOWER than the
+  literal nested grads (96 ms vs 48.6 ms per residual gradient) with a
+  longer compile (2275 s vs 1916 s): XLA maps plain reverse passes onto
+  the MXU better than forward-over-reverse jvp-of-vjp chains, and the
+  shared linearization's residency defeats fusion locality.  The literal
+  schedule in :func:`equation_mse` stays the default everywhere
+  (scripts/pinn_microbatch_bench.py --probe reproduces both numbers).
   """
   (u, v, p), pullback = jax.vjp(lambda x_, y_, t_: apply_uvp(x_, y_, t_),
                                 x, y, t)

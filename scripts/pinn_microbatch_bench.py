@@ -28,6 +28,13 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--microbatch', type=int, default=16)
   ap.add_argument('--steps', type=int, default=8)
+  ap.add_argument('--image_size', type=int, default=0,
+                  help='override config.data.image_size (0 = config value)')
+  ap.add_argument('--batch_size', type=int, default=0,
+                  help='override config.training.batch_size (0 = config)')
+  ap.add_argument('--probe', choices=['', 'literal', 'fused'], default='',
+                  help='probe mode: time only the residual value_and_grad '
+                       'for one schedule (no optimizer / data loss / scan)')
   args = ap.parse_args()
 
   from b_pinn_kalman_filter_tpu import configs
@@ -40,11 +47,17 @@ def main():
 
   config = configs.get_config('pinn/pinn_pde')
   config.tpu.pinn_microbatch = args.microbatch
+  if args.image_size:
+    config.data.image_size = args.image_size
+  if args.batch_size:
+    config.training.batch_size = args.batch_size
   B = config.training.batch_size
   H = config.data.image_size
   C = config.data.num_channels
-  print(f'scale: batch {B} at {H}^2, microbatch {args.microbatch}',
-        flush=True)
+  print(f'scale: batch {B} at {H}^2, microbatch {args.microbatch}, '
+        f'probe={args.probe!r}', flush=True)
+  if args.probe:
+    return probe(config, args)
 
   t0 = time.perf_counter()
   model, variables = pinn_lib.init_pinn(config, jax.random.PRNGKey(0))
@@ -93,6 +106,60 @@ def main():
       'residual_pts_per_sec': round(B * H * H / dt, 1),
       'compile_s': round(compile_s, 1),
       'loss_finite': bool(np.isfinite(loss_val)),
+  }), flush=True)
+
+
+def probe(config, args):
+  """Time just ``value_and_grad(equation_mse_from_outputs)`` for one
+  schedule — the decisive literal-vs-fused comparison with the smallest
+  possible program (no optimizer, data loss, or scan wrapper)."""
+  from b_pinn_kalman_filter_tpu.pinn import pinn as pinn_mod
+  from b_pinn_kalman_filter_tpu.pinn import pinn_lib
+
+  B = config.training.batch_size
+  H = config.data.image_size
+  C = config.data.num_channels
+  fused = args.probe == 'fused'
+
+  t0 = time.perf_counter()
+  model, variables = pinn_lib.init_pinn(config, jax.random.PRNGKey(0))
+  params = variables['params']
+  print(f'init: {time.perf_counter() - t0:.1f}s', flush=True)
+
+  grad_fn = jax.jit(jax.value_and_grad(
+      lambda p, f1, f2, x, y, t: pinn_mod.equation_mse_from_outputs(
+          model, p, f1, f2, x, y, t, 1e7, train=True, fused=fused)))
+
+  def host_batch(i):
+    rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+    f = rng.standard_normal((B, H, H, C)).astype(np.float32)
+    f2 = rng.standard_normal((B, H, H, C)).astype(np.float32)
+    xy = np.linspace(0, 1, H, dtype=np.float32)
+    x = np.broadcast_to(xy[None, None, :, None], (B, H, H, 1)).copy()
+    y = np.broadcast_to(xy[None, :, None, None], (B, H, H, 1)).copy()
+    t = rng.random((B,)).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in (f, f2, x, y, t))
+
+  t0 = time.perf_counter()
+  val, grads = grad_fn(params, *host_batch(0))
+  val = float(np.asarray(val))
+  compile_s = time.perf_counter() - t0
+  print(f'compile+first: {compile_s:.1f}s  residual={val:.6e}', flush=True)
+
+  batches = [host_batch(i) for i in range(args.steps)]
+  jax.block_until_ready(batches[-1])
+  t0 = time.perf_counter()
+  for i in range(args.steps):
+    val, grads = grad_fn(params, *batches[i])
+  np.asarray(val)
+  dt = (time.perf_counter() - t0) / args.steps
+  g0 = float(np.asarray(jax.tree_util.tree_leaves(grads)[0]).ravel()[0])
+  print(json.dumps({
+      'probe': args.probe, 'batch': B, 'image_size': H,
+      'sec_per_grad': round(dt, 4),
+      'residual_pts_per_sec': round(B * H * H / dt, 1),
+      'compile_s': round(compile_s, 1),
+      'finite': bool(np.isfinite(val) and np.isfinite(g0)),
   }), flush=True)
 
 
