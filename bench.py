@@ -19,6 +19,14 @@ workloads => ~0.26 s / 262k residual points).
 Timing discipline (CLAUDE.md): fresh time-derived inputs per run + full
 host readback — the TPU tunnel memoizes repeated identical computations
 and its block_until_ready does not reliably synchronize.
+
+Budget discipline (VERDICT r2 Next #2): server-side compiles are 10-30 min
+per program with no persistent cache, so the three-metric bench can outrun
+the driver's timeout.  The run works against BENCH_DEADLINE seconds;
+secondaries that do not fit are skipped with an explanatory JSON line, and
+the most recent successful on-chip measurement (write-through
+BENCH_CACHE.json) is re-emitted labeled ``"cached": true`` with its
+timestamp so the driver-visible record always carries every metric.
 """
 
 import json
@@ -50,14 +58,66 @@ def _elapsed():
   return time.monotonic() - _BENCH_START
 
 
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'BENCH_CACHE.json')
+# Metrics each secondary produces (for cache fallback lookup).
+_SECONDARY_METRICS = {
+    'train': ['train_imgs_per_sec_cifar10_ddpmpp_batch128_bf16'],
+    'pinn': ['pinn_phase2_residual_points_per_sec_pde'],
+}
+
+
+def _cache_store(record):
+  """Write-through store of a successful on-chip measurement (keyed by
+  metric) so a budget-skipped future run can still surface the number,
+  labeled as cached."""
+  try:
+    cache = {}
+    if os.path.exists(_CACHE_PATH):
+      with open(_CACHE_PATH) as f:
+        cache = json.load(f)
+    record = dict(record)
+    record['measured_at'] = time.strftime('%Y-%m-%dT%H:%M:%S')
+    cache[record['metric']] = record
+    tmp = _CACHE_PATH + '.tmp'
+    with open(tmp, 'w') as f:
+      json.dump(cache, f, indent=1, sort_keys=True)
+      f.write('\n')
+    os.replace(tmp, _CACHE_PATH)
+  except OSError:
+    pass
+
+
+def _cache_emit(name: str) -> bool:
+  """Re-emit the last successful on-chip measurement for a secondary whose
+  live run did not fit the budget — labeled ``"cached": true`` with its
+  measurement timestamp, never silently."""
+  try:
+    with open(_CACHE_PATH) as f:
+      cache = json.load(f)
+  except (OSError, ValueError):
+    return False
+  emitted = False
+  for metric in _SECONDARY_METRICS.get(name, []):
+    rec = cache.get(metric)
+    if rec:
+      rec = dict(rec)
+      rec['cached'] = True
+      print(json.dumps(rec), flush=True)
+      emitted = True
+  return emitted
+
+
 def _emit(metric, value, unit, baseline):
-  line = json.dumps({
+  record = {
       "metric": metric,
       "value": round(float(value), 3),
       "unit": unit,
       "vs_baseline": round(float(value) / baseline, 3),
-  })
+  }
+  line = json.dumps(record)
   print(line, flush=True)
+  _cache_store(record)
   return line
 
 
@@ -198,9 +258,11 @@ def bench_sampling():
 
 # Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
 # server-side remote compiles, no persistent cache so every process pays).
-# Round-2/3 measurements: train ~700 s, PINN phase-2 literal ~1820 s /
-# microbatched-fused schedule substantially less (BASELINE.md).
-_EXPECTED_SECONDARY_S = {'train': 800, 'pinn': 1900}
+# Round-3 full-run measurements: headline sampling stage 1067 s, train
+# 1133 s, PINN phase-2 (literal schedule) 1653 s — 3860 s total, which is
+# why the BENCH_DEADLINE default keeps the PINN stage on the cache path
+# unless the budget is raised.
+_EXPECTED_SECONDARY_S = {'train': 1200, 'pinn': 1700}
 
 
 def _run_secondary(name: str, deadline: float):
@@ -229,6 +291,7 @@ def _run_secondary(name: str, deadline: float):
           "error": (f"budget: {remaining:.0f}s left < expected ~{expected}s "
                     "(compile-dominated; see BASELINE.md for hand-run value)"),
       }), flush=True)
+      _cache_emit(name)
       return
     timeout = int(min(float(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700')),
                       max(remaining - 30, 120)))
@@ -239,6 +302,7 @@ def _run_secondary(name: str, deadline: float):
     except subprocess.TimeoutExpired:
       print(json.dumps({"metric": f"bench_{name}_error",
                         "error": f"timeout after {timeout}s"}), flush=True)
+      _cache_emit(name)
       return
     emitted = False
     for line in proc.stdout.splitlines():
@@ -251,6 +315,7 @@ def _run_secondary(name: str, deadline: float):
     err = (err_lines[-1] if err_lines else proc.stderr[-200:])[:300]
     print(json.dumps({"metric": f"bench_{name}_error",
                       "attempt": attempt + 1, "error": err}), flush=True)
+  _cache_emit(name)
 
 
 def main():
