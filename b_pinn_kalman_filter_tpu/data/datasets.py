@@ -100,6 +100,15 @@ class NumpyLoader:
   fetches the items of each batch through a thread pool (the analog of the
   reference's 4 DataLoader workers); order within the batch is preserved,
   so batches are bit-identical to the serial path.
+
+  Divergence from the reference for datasets smaller than the batch: torch
+  ``drop_last=True`` yields *zero* batches there (the reference train loops
+  would crash on ``next()``; e.g. the PDE test split is ``int(T*0.1)-1 = 39``
+  items vs batch 64, reference datasets.py:88-99,273-275).  An *infinite*
+  loader here instead concatenates consecutive (re-shuffled) epochs so every
+  batch is full ``batch_size`` — shapes stay static for XLA and ``next()``
+  always returns (the yield-nothing epoch loop was an infinite 100%-CPU
+  spin).  Finite-``num_epochs`` loaders keep exact drop_last semantics.
   """
 
   def __init__(self, dataset, batch_size: int, shuffle: bool = True,
@@ -118,21 +127,34 @@ class NumpyLoader:
   def __iter__(self) -> Iterator:
     rng = np.random.default_rng(self.seed)
     n = len(self.dataset)
-    epoch = 0
+    if n == 0:
+      raise ValueError('NumpyLoader: empty dataset (would never yield)')
     pool = None
     if self.num_workers > 1:
       import concurrent.futures
       pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+
+    def fetch(idx):
+      if pool is not None:
+        return list(pool.map(self.dataset.__getitem__, idx))
+      return [self.dataset[i] for i in idx]
+
     try:
+      if self.num_epochs is None and n < self.batch_size:
+        # Small dataset, infinite consumer: wrap epochs so batches stay full
+        # batch_size (static shapes; see class docstring divergence note).
+        buf: list = []
+        while True:
+          while len(buf) < self.batch_size:
+            buf.extend(int(i) for i in self._epoch_order(rng, n))
+          idx, buf = buf[:self.batch_size], buf[self.batch_size:]
+          yield _stack_items(fetch(idx))
+      epoch = 0
       while self.num_epochs is None or epoch < self.num_epochs:
         order = self._epoch_order(rng, n)
         for start in range(0, n - self.batch_size + 1, self.batch_size):
           idx = [int(i) for i in order[start:start + self.batch_size]]
-          if pool is not None:
-            items = list(pool.map(self.dataset.__getitem__, idx))
-          else:
-            items = [self.dataset[i] for i in idx]
-          yield _stack_items(items)
+          yield _stack_items(fetch(idx))
         epoch += 1
     finally:
       if pool is not None:
@@ -326,14 +348,21 @@ def _generate_ns_rollout(n_frames: int, h: int, w: int, seed: int = 0) -> np.nda
   return frames
 
 
-@functools.lru_cache(maxsize=2)
 def _cached_ns_rollout(n_frames: int, h: int, w: int, seed: int) -> np.ndarray:
-  cache = os.path.join(data_dir(), f'ns_rollout_{n_frames}x{h}x{w}_{seed}.npy')
+  # data_dir() participates in the memo key: tests repoint BPKF_DATA_DIR and
+  # expect fixtures under the new dir to be honored, not a stale in-process hit.
+  return _cached_ns_rollout_at(data_dir(), n_frames, h, w, seed)
+
+
+@functools.lru_cache(maxsize=2)
+def _cached_ns_rollout_at(base_dir: str, n_frames: int, h: int, w: int,
+                          seed: int) -> np.ndarray:
+  cache = os.path.join(base_dir, f'ns_rollout_{n_frames}x{h}x{w}_{seed}.npy')
   if os.path.exists(cache):
     return np.load(cache)
   frames = _generate_ns_rollout(n_frames, h, w, seed)
   try:
-    os.makedirs(data_dir(), exist_ok=True)
+    os.makedirs(base_dir, exist_ok=True)
     np.save(cache, frames)
   except OSError:
     pass
@@ -555,13 +584,22 @@ def _load_cifar10_batches(root: str):
         continue
       with open(path, 'rb') as f:
         d = pickle.load(f, encoding='bytes')
-      data.append(np.asarray(d[b'data'], np.uint8))
-      labels.extend(d.get(b'labels', d.get(b'fine_labels', [])))
+      imgs = np.asarray(d[b'data'], np.uint8)
+      batch_labels = d.get(b'labels', d.get(b'fine_labels'))
+      if batch_labels is None:
+        # Refuse rather than misalign: appending images while extending
+        # labels by nothing would pair every later image with an earlier
+        # batch's label and IndexError on the tail indices mid-training.
+        raise ValueError(f'CIFAR-10 batch {n!r} has no labels key')
+      if len(batch_labels) != len(imgs):
+        raise ValueError(f'CIFAR-10 batch {n!r}: {len(imgs)} images vs '
+                         f'{len(batch_labels)} labels')
+      data.append(imgs)
+      labels.extend(batch_labels)
     if not data:
       return None
     data = np.concatenate(data).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-    return (data.astype(np.float32) / 255.0,
-            np.asarray(labels, np.int64) if labels else None)
+    return (data.astype(np.float32) / 255.0, np.asarray(labels, np.int64))
 
   train = read([f'data_batch_{i}' for i in range(1, 6)])
   test = read(['test_batch'])

@@ -94,3 +94,34 @@ def test_infinite_loader_reshuffles_across_epochs():
   # same elements, different order with overwhelming probability
   assert sorted(epoch1[:, 0, 0]) == sorted(epoch2[:, 0, 0])
   assert not np.array_equal(epoch1, epoch2)
+
+
+def test_infinite_loader_smaller_than_batch_wraps_epochs():
+  """A PDE-style small eval split (39 items < batch 64) must still serve
+  full static-shape batches forever instead of spinning in a yield-nothing
+  epoch loop (hit live by --mode train_pinn with pinn_pde_lfn's step-0
+  eval; data/datasets.py NumpyLoader divergence note)."""
+  ds = _SquareDataset(10)
+  it = iter(NumpyLoader(ds, 16, shuffle=True, seed=5))
+  batches = [next(it) for _ in range(4)]
+  seen = []
+  for a, b in batches:
+    assert a.shape == (16, 2, 2)
+    np.testing.assert_array_equal(a[:, 0, 0] ** 2, b)
+    seen.extend(int(v) for v in a[:, 0, 0])
+  # 4 batches x 16 = 64 draws over 10 items: epochs concatenated, so every
+  # item appears and per-item counts differ by at most one (6 full epochs
+  # + a 4-item prefix of the 7th).
+  counts = np.bincount(seen, minlength=10)
+  assert counts.min() >= 6 and counts.max() <= 7
+
+
+def test_finite_loader_smaller_than_batch_keeps_drop_last():
+  ds = _SquareDataset(10)
+  assert list(iter(NumpyLoader(ds, 16, num_epochs=3))) == []
+
+
+def test_empty_dataset_raises():
+  import pytest
+  with pytest.raises(ValueError, match="empty dataset"):
+    next(iter(NumpyLoader(_SquareDataset(0), 4)))
