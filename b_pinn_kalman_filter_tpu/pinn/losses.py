@@ -167,9 +167,12 @@ def get_pinn_step_fn(config, model: pinn_mod.PINN,
         lambda p: data_loss_fn(p, f1m, f2m, x, y, t, target))(params)
 
     B = f1.shape[0]
-    C = microbatch
-    n_chunks = max(B // C, 1)
-    C = B // n_chunks  # degrade gracefully if B < microbatch
+    # Largest divisor of B that is <= microbatch: the reshape below needs
+    # n_chunks * C == B exactly, and rounding C *up* would exceed the
+    # requested memory bound the knob exists to enforce.  (B < microbatch
+    # degrades to one full-batch chunk; worst case C=1.)
+    C = max(c for c in range(1, min(microbatch, B) + 1) if B % c == 0)
+    n_chunks = B // C
 
     def to_chunks(a):
       return a.reshape((n_chunks, C) + a.shape[1:])

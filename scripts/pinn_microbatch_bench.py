@@ -24,6 +24,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_host_batch(B, H, C, i, include_target):
+  """Fresh time-derived inputs (tunnel memoizes identical computations);
+  shared by the full-step and probe paths so both measure the same input
+  regime."""
+  rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+  f = rng.standard_normal((B, H, H, C)).astype(np.float32)
+  f2 = rng.standard_normal((B, H, H, C)).astype(np.float32)
+  xy = np.linspace(0, 1, H, dtype=np.float32)
+  x = np.broadcast_to(xy[None, None, :, None], (B, H, H, 1)).copy()
+  y = np.broadcast_to(xy[None, :, None, None], (B, H, H, 1)).copy()
+  t = rng.random((B,)).astype(np.float32)
+  arrays = [f, f2, x, y, t]
+  if include_target:
+    arrays.append(rng.standard_normal((B, H, H, 6)).astype(np.float32))
+  return tuple(jnp.asarray(a) for a in arrays)
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--microbatch', type=int, default=16)
@@ -71,34 +88,24 @@ def main():
       donate_argnums=(1,))
   mask = jnp.asarray(get_mask_dataset(config).next())
 
-  def host_batch(i):
-    rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
-    f = rng.standard_normal((B, H, H, C)).astype(np.float32)
-    f2 = rng.standard_normal((B, H, H, C)).astype(np.float32)
-    xy = np.linspace(0, 1, H, dtype=np.float32)
-    x = np.broadcast_to(xy[None, None, :, None], (B, H, H, 1)).copy()
-    y = np.broadcast_to(xy[None, :, None, None], (B, H, H, 1)).copy()
-    t = rng.random((B,)).astype(np.float32)
-    target = rng.standard_normal((B, H, H, 6)).astype(np.float32)
-    return tuple(jnp.asarray(a) for a in (f, f2, x, y, t, target))
-
   t0 = time.perf_counter()
   state, (loss, *_rest) = step_fn(
       jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31), state, mask,
-      host_batch(0))
+      make_host_batch(B, H, C, 0, include_target=True))
   loss_val = float(np.asarray(loss))
   compile_s = time.perf_counter() - t0
   print(f'compile+first step: {compile_s:.1f}s  loss={loss_val:.4f}',
         flush=True)
 
-  dev_batches = [host_batch(i) for i in range(args.steps)]
+  dev_batches = [make_host_batch(B, H, C, i, include_target=True)
+                 for i in range(args.steps)]
   jax.block_until_ready(dev_batches[-1])
   t0 = time.perf_counter()
   for i in range(args.steps):
     state, (loss, *_rest) = step_fn(
         jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31 + i), state, mask,
         dev_batches[i])
-  np.asarray(loss)
+  np.asarray(loss)  # donated state chains the steps; this forces all of them
   dt = (time.perf_counter() - t0) / args.steps
   print(json.dumps({
       'microbatch': args.microbatch,
@@ -130,27 +137,26 @@ def probe(config, args):
       lambda p, f1, f2, x, y, t: pinn_mod.equation_mse_from_outputs(
           model, p, f1, f2, x, y, t, 1e7, train=True, fused=fused)))
 
-  def host_batch(i):
-    rng = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
-    f = rng.standard_normal((B, H, H, C)).astype(np.float32)
-    f2 = rng.standard_normal((B, H, H, C)).astype(np.float32)
-    xy = np.linspace(0, 1, H, dtype=np.float32)
-    x = np.broadcast_to(xy[None, None, :, None], (B, H, H, 1)).copy()
-    y = np.broadcast_to(xy[None, :, None, None], (B, H, H, 1)).copy()
-    t = rng.random((B,)).astype(np.float32)
-    return tuple(jnp.asarray(a) for a in (f, f2, x, y, t))
-
   t0 = time.perf_counter()
-  val, grads = grad_fn(params, *host_batch(0))
+  val, grads = grad_fn(params, *make_host_batch(B, H, C, 0,
+                                                include_target=False))
   val = float(np.asarray(val))
   compile_s = time.perf_counter() - t0
   print(f'compile+first: {compile_s:.1f}s  residual={val:.6e}', flush=True)
 
-  batches = [host_batch(i) for i in range(args.steps)]
+  batches = [make_host_batch(B, H, C, i, include_target=False)
+             for i in range(args.steps)]
   jax.block_until_ready(batches[-1])
   t0 = time.perf_counter()
+  val = jnp.zeros(())
   for i in range(args.steps):
-    val, grads = grad_fn(params, *batches[i])
+    # Unlike main()'s donated-state chain, grad_fn calls share no state, so
+    # chain them explicitly: feeding a zero-scaled previous output into t
+    # makes call i depend on call i-1 completing, and the final readback
+    # then forces the whole sequence (the tunnel's block_until_ready is not
+    # a reliable barrier — CLAUDE.md timing discipline).
+    f1c, f2c, xc, yc, tc = batches[i]
+    val, grads = grad_fn(params, f1c, f2c, xc, yc, tc + val * 0.0)
   np.asarray(val)
   dt = (time.perf_counter() - t0) / args.steps
   g0 = float(np.asarray(jax.tree_util.tree_leaves(grads)[0]).ravel()[0])

@@ -166,7 +166,10 @@ def test_microbatched_pinn_step_matches_full():
   batch = _batch(config)
 
   results = {}
-  for mb in (0, 2):
+  # mb=3 does not divide batch 4: chunking must round DOWN to a divisor
+  # (C=2 here) rather than reshape-crash or silently exceed the requested
+  # memory bound (code-review r3); mb=100 > batch degrades to one chunk.
+  for mb in (0, 2, 3, 100):
     config.tpu.pinn_microbatch = mb
     state = state_lib.create_train_state(variables['params'], tx,
                                          config.model.ema_rate)
@@ -175,16 +178,18 @@ def test_microbatched_pinn_step_matches_full():
                                                 mask, batch)
     results[mb] = (new_state, float(loss), float(pinn_l), float(data_l))
 
-  (s0, l0, pl0, dl0), (s2, l2, pl2, dl2) = results[0], results[2]
-  np.testing.assert_allclose(l2, l0, rtol=1e-5)
-  # The fused schedule reorders the f32 residual reduction; at init the
-  # residual is ~1e-5, so summation-order noise shows up at ~1e-3 relative
-  # (measured 1.2e-8 absolute).  Mathematically the schedules are
-  # identical (test_fused_equation_mse_matches_literal).
-  np.testing.assert_allclose(pl2, pl0, rtol=5e-3, atol=1e-7)
-  np.testing.assert_allclose(dl2, dl0, rtol=1e-5)
+  s0, l0, pl0, dl0 = results[0]
   flat0 = jax.tree_util.tree_leaves(s0.params)
-  flat2 = jax.tree_util.tree_leaves(s2.params)
-  for a, b in zip(flat0, flat2):
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                               rtol=1e-3, atol=1e-6)
+  for mb in (2, 3, 100):
+    s2, l2, pl2, dl2 = results[mb]
+    np.testing.assert_allclose(l2, l0, rtol=1e-5)
+    # The fused schedule reorders the f32 residual reduction; at init the
+    # residual is ~1e-5, so summation-order noise shows up at ~1e-3 relative
+    # (measured 1.2e-8 absolute).  Mathematically the schedules are
+    # identical (test_fused_equation_mse_matches_literal).
+    np.testing.assert_allclose(pl2, pl0, rtol=5e-3, atol=1e-7)
+    np.testing.assert_allclose(dl2, dl0, rtol=1e-5)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat0, flat2):
+      np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                 rtol=1e-3, atol=1e-6)
