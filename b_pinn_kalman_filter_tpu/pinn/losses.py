@@ -115,6 +115,18 @@ def get_prelim_step_fn(config, model: pinn_mod.PINN,
   return step_fn
 
 
+def microbatch_chunk(batch: int, microbatch: int) -> int:
+  """Largest divisor of ``batch`` that is <= ``microbatch``.
+
+  The gradient-accumulation reshape needs n_chunks * C == batch exactly,
+  and rounding C *up* would exceed the requested memory bound the knob
+  exists to enforce.  (batch < microbatch degrades to one full-batch
+  chunk; worst case C=1.)
+  """
+  return max(c for c in range(1, min(microbatch, batch) + 1)
+             if batch % c == 0)
+
+
 def get_pinn_step_fn(config, model: pinn_mod.PINN,
                      tx: optax.GradientTransformation, train: bool) -> Callable:
   """Phase-2 step: data losses + NS-residual regularization
@@ -167,11 +179,7 @@ def get_pinn_step_fn(config, model: pinn_mod.PINN,
         lambda p: data_loss_fn(p, f1m, f2m, x, y, t, target))(params)
 
     B = f1.shape[0]
-    # Largest divisor of B that is <= microbatch: the reshape below needs
-    # n_chunks * C == B exactly, and rounding C *up* would exceed the
-    # requested memory bound the knob exists to enforce.  (B < microbatch
-    # degrades to one full-batch chunk; worst case C=1.)
-    C = max(c for c in range(1, min(microbatch, B) + 1) if B % c == 0)
+    C = microbatch_chunk(B, microbatch)
     n_chunks = B // C
 
     def to_chunks(a):

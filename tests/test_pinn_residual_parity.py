@@ -168,8 +168,12 @@ def test_microbatched_pinn_step_matches_full():
   results = {}
   # mb=3 does not divide batch 4: chunking must round DOWN to a divisor
   # (C=2 here) rather than reshape-crash or silently exceed the requested
-  # memory bound (code-review r3); mb=100 > batch degrades to one chunk.
-  for mb in (0, 2, 3, 100):
+  # memory bound (code-review r3).  One chunked variant suffices for the
+  # end-to-end parity: every other mb value maps onto the same scan
+  # program through microbatch_chunk (covered cheaply by
+  # test_microbatch_chunk_divisors below — each extra distinct C here
+  # costs a multi-minute XLA compile of the fused residual graph).
+  for mb in (0, 3):
     config.tpu.pinn_microbatch = mb
     state = state_lib.create_train_state(variables['params'], tx,
                                          config.model.ema_rate)
@@ -178,18 +182,35 @@ def test_microbatched_pinn_step_matches_full():
                                                 mask, batch)
     results[mb] = (new_state, float(loss), float(pinn_l), float(data_l))
 
-  s0, l0, pl0, dl0 = results[0]
+  (s0, l0, pl0, dl0), (s2, l2, pl2, dl2) = results[0], results[3]
+  np.testing.assert_allclose(l2, l0, rtol=1e-5)
+  # The fused schedule reorders the f32 residual reduction; at init the
+  # residual is ~1e-5, so summation-order noise shows up at ~1e-3 relative
+  # (measured 1.2e-8 absolute).  Mathematically the schedules are
+  # identical (test_fused_equation_mse_matches_literal).
+  np.testing.assert_allclose(pl2, pl0, rtol=5e-3, atol=1e-7)
+  np.testing.assert_allclose(dl2, dl0, rtol=1e-5)
   flat0 = jax.tree_util.tree_leaves(s0.params)
-  for mb in (2, 3, 100):
-    s2, l2, pl2, dl2 = results[mb]
-    np.testing.assert_allclose(l2, l0, rtol=1e-5)
-    # The fused schedule reorders the f32 residual reduction; at init the
-    # residual is ~1e-5, so summation-order noise shows up at ~1e-3 relative
-    # (measured 1.2e-8 absolute).  Mathematically the schedules are
-    # identical (test_fused_equation_mse_matches_literal).
-    np.testing.assert_allclose(pl2, pl0, rtol=5e-3, atol=1e-7)
-    np.testing.assert_allclose(dl2, dl0, rtol=1e-5)
-    flat2 = jax.tree_util.tree_leaves(s2.params)
-    for a, b in zip(flat0, flat2):
-      np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                 rtol=1e-3, atol=1e-6)
+  flat2 = jax.tree_util.tree_leaves(s2.params)
+  for a, b in zip(flat0, flat2):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_microbatch_chunk_divisors():
+  """Chunk-size selection: largest divisor of B that is <= the requested
+  microbatch — never rounds up (memory bound), never breaks B % C == 0
+  (exact reshape), degrades to one full-batch chunk when mb >= B."""
+  from b_pinn_kalman_filter_tpu.pinn.losses import microbatch_chunk
+
+  assert microbatch_chunk(4, 2) == 2
+  assert microbatch_chunk(4, 3) == 2      # rounds DOWN to a divisor
+  assert microbatch_chunk(4, 100) == 4    # oversize -> one chunk
+  assert microbatch_chunk(4, 1) == 1
+  assert microbatch_chunk(64, 16) == 16   # the production setting
+  assert microbatch_chunk(64, 24) == 16
+  assert microbatch_chunk(7, 3) == 1      # prime batch: worst case C=1
+  for B in (4, 6, 12, 64):
+    for mb in range(1, B + 5):
+      C = microbatch_chunk(B, mb)
+      assert B % C == 0 and C <= max(1, min(mb, B))
