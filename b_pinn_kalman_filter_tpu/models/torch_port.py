@@ -1,0 +1,300 @@
+"""Import reference (PyTorch) DDPM checkpoints into this framework.
+
+The reference saves ``{'info', 'optimizer'(s), 'model': state_dict,
+'ema': {'decay', 'num_updates', 'shadow_params'}, 'step'}``
+(reference utils.py:109-128).  Its 'ddpm' model is a flat ``nn.ModuleList``
+walked with a manual index (reference models/ddpm.py:39-183), so model keys
+look like ``all_modules.{i}.GroupNorm_0.weight``.  This module replays that
+module-order walk against our flax auto-naming to build the equivalent
+``params`` pytree:
+
+* Conv2d OIHW kernels -> flax HWIO (``transpose(2, 3, 1, 0)``);
+* Linear ``(out, in)`` weights -> flax Dense ``(in, out)`` kernels;
+* GroupNorm ``weight``/``bias`` -> flax ``scale``/``bias``;
+* NIN ``W``/``b`` pass through (both sides store ``(in, out)``);
+* the ``sigmas`` buffer is dropped (recomputed from config here).
+
+EMA shadow params are a flat tensor list in ``model.parameters()`` order
+(reference models/ema.py:29-30, :94-96), which for this model equals the
+state-dict key order minus the ``sigmas`` buffer — so EMA conversion is a
+key-ordered substitution followed by the same walk.
+
+Optimizer state is NOT converted: torch Adam moments are layout-coupled
+(OIHW vs HWIO) and schedule-coupled; an imported run restarts optimization
+from the imported weights.
+
+NHWC note: weights convert exactly; activations stay NHWC here, so feed
+NHWC inputs (transpose any NCHW arrays once at the boundary).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+  """torch.Tensor | np.ndarray -> float32 numpy (no torch import needed)."""
+  if hasattr(t, 'detach'):
+    t = t.detach().cpu().numpy()
+  return np.asarray(t, dtype=np.float32)
+
+
+def _conv(sd: Dict[str, Any], prefix: str, used: set) -> Dict[str, np.ndarray]:
+  used.add(prefix + '.weight')
+  out = {'kernel': _np(sd[prefix + '.weight']).transpose(2, 3, 1, 0)}
+  if prefix + '.bias' in sd:
+    used.add(prefix + '.bias')
+    out['bias'] = _np(sd[prefix + '.bias'])
+  return out
+
+
+def _linear(sd, prefix, used):
+  used.update((prefix + '.weight', prefix + '.bias'))
+  return {'kernel': _np(sd[prefix + '.weight']).T,
+          'bias': _np(sd[prefix + '.bias'])}
+
+
+def _groupnorm(sd, prefix, used):
+  used.update((prefix + '.weight', prefix + '.bias'))
+  return {'scale': _np(sd[prefix + '.weight']),
+          'bias': _np(sd[prefix + '.bias'])}
+
+
+def _nin(sd, prefix, used):
+  used.update((prefix + '.W', prefix + '.b'))
+  return {'W': _np(sd[prefix + '.W']), 'b': _np(sd[prefix + '.b'])}
+
+
+def _ddpm_walk(config) -> List[Tuple[int, str, str, dict]]:
+  """Replay the reference's ``all_modules`` construction order
+  (reference models/ddpm.py:58-106) and our flax creation order
+  (models/ddpm.py ``__call__``) — they are the same sequence, so one walk
+  yields ``(torch_index, kind, flax_name, extra)`` for every module.
+  """
+  nf = config.model.nf
+  ch_mult = config.model.ch_mult
+  num_res_blocks = config.model.num_res_blocks
+  attn_resolutions = config.model.attn_resolutions
+  resamp_with_conv = config.model.resamp_with_conv
+  num_resolutions = len(ch_mult)
+  all_res = [config.data.image_size // (2 ** i) for i in range(num_resolutions)]
+
+  if not config.model.conditional:
+    # The reference DDPM only constructs its module list under
+    # conditional=True (models/ddpm.py:58-65 — `modules` is undefined
+    # otherwise), so unconditional torch checkpoints cannot exist.
+    raise ValueError('reference DDPM checkpoints are always conditional')
+
+  entries: List[Tuple[int, str, str, dict]] = []
+  counters: Dict[str, int] = {}
+  idx = 0
+
+  def emit(kind: str, flax_type: str, **extra):
+    nonlocal idx
+    n = counters.get(flax_type, 0)
+    counters[flax_type] = n + 1
+    entries.append((idx, kind, f'{flax_type}_{n}', extra))
+    idx += 1
+
+  emit('linear', 'Dense')
+  emit('linear', 'Dense')
+  emit('conv', 'Conv3x3')
+
+  hs_c = [nf]
+  in_ch = nf
+  for i_level in range(num_resolutions):
+    for _ in range(num_res_blocks):
+      out_ch = nf * ch_mult[i_level]
+      emit('resblock', 'ResnetBlockDDPM', in_ch=in_ch, out_ch=out_ch)
+      in_ch = out_ch
+      if all_res[i_level] in attn_resolutions:
+        emit('attn', 'AttnBlock')
+      hs_c.append(in_ch)
+    if i_level != num_resolutions - 1:
+      emit('downsample', 'Downsample', with_conv=resamp_with_conv)
+      hs_c.append(in_ch)
+
+  emit('resblock', 'ResnetBlockDDPM', in_ch=in_ch, out_ch=in_ch)
+  emit('attn', 'AttnBlock')
+  emit('resblock', 'ResnetBlockDDPM', in_ch=in_ch, out_ch=in_ch)
+
+  for i_level in reversed(range(num_resolutions)):
+    for _ in range(num_res_blocks + 1):
+      out_ch = nf * ch_mult[i_level]
+      emit('resblock', 'ResnetBlockDDPM',
+           in_ch=in_ch + hs_c.pop(), out_ch=out_ch)
+      in_ch = out_ch
+    if all_res[i_level] in attn_resolutions:
+      emit('attn', 'AttnBlock')
+    if i_level != 0:
+      emit('upsample', 'Upsample', with_conv=resamp_with_conv)
+
+  assert not hs_c
+  emit('groupnorm', 'GroupNorm')
+  emit('conv', 'Conv3x3')
+  return entries
+
+
+def ddpm_params_from_torch_state_dict(state_dict: Dict[str, Any],
+                                      config) -> Dict[str, Any]:
+  """Reference 'ddpm' model state_dict -> flax ``params`` pytree.
+
+  Raises ``ValueError`` if any ``all_modules.*`` key is left unconsumed —
+  a shape/architecture mismatch between the checkpoint and ``config``
+  surfaces as a KeyError/transpose error instead of silent garbage.
+  """
+  used: set = set()
+  params: Dict[str, Any] = {}
+
+  for torch_idx, kind, flax_name, extra in _ddpm_walk(config):
+    p = f'all_modules.{torch_idx}'
+    if kind == 'linear':
+      params[flax_name] = _linear(state_dict, p, used)
+    elif kind == 'conv':
+      params[flax_name] = {'Conv_0': _conv(state_dict, p, used)}
+    elif kind == 'groupnorm':
+      params[flax_name] = _groupnorm(state_dict, p, used)
+    elif kind == 'attn':
+      params[flax_name] = {
+          'GroupNorm_0': _groupnorm(state_dict, p + '.GroupNorm_0', used),
+          'NIN_0': _nin(state_dict, p + '.NIN_0', used),
+          'NIN_1': _nin(state_dict, p + '.NIN_1', used),
+          'NIN_2': _nin(state_dict, p + '.NIN_2', used),
+          'NIN_3': _nin(state_dict, p + '.NIN_3', used),
+      }
+    elif kind == 'downsample':
+      if extra['with_conv']:
+        params[flax_name] = {'Conv_0': _conv(state_dict, p + '.Conv_0', used)}
+    elif kind == 'upsample':
+      if extra['with_conv']:
+        params[flax_name] = {
+            'Conv3x3_0': {'Conv_0': _conv(state_dict, p + '.Conv_0', used)}}
+    elif kind == 'resblock':
+      block = {
+          'GroupNorm_0': _groupnorm(state_dict, p + '.GroupNorm_0', used),
+          'Conv3x3_0': {'Conv_0': _conv(state_dict, p + '.Conv_0', used)},
+          'Dense_0': _linear(state_dict, p + '.Dense_0', used),
+          'GroupNorm_1': _groupnorm(state_dict, p + '.GroupNorm_1', used),
+          'Conv3x3_1': {'Conv_0': _conv(state_dict, p + '.Conv_1', used)},
+      }
+      if extra['in_ch'] != extra['out_ch']:
+        if p + '.NIN_0.W' in state_dict:
+          block['NIN_0'] = _nin(state_dict, p + '.NIN_0', used)
+        else:  # conv_shortcut variant (reference layers.py:633-636)
+          block['Conv3x3_2'] = {'Conv_0': _conv(state_dict, p + '.Conv_2',
+                                                used)}
+      params[flax_name] = block
+    else:  # pragma: no cover - walk only emits the kinds above
+      raise AssertionError(kind)
+
+  unconsumed = sorted(k for k in state_dict
+                      if k.startswith('all_modules.') and k not in used)
+  if unconsumed:
+    raise ValueError(
+        'torch state_dict keys not consumed by the architecture walk '
+        f'(checkpoint/config mismatch?): {unconsumed[:8]}'
+        f'{" ..." if len(unconsumed) > 8 else ""}')
+  return params
+
+
+def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
+                                     shape: Sequence[int] = (1, 3, 3, 1)
+                                     ) -> Dict[str, Any]:
+  """Reference MLP score model (models/ddpm.py:187-202) -> flax params.
+
+  Torch keys are ``nn.fc{i}.weight/bias`` (the ``nn.Sequential`` attribute
+  is literally named ``nn``); flax uses auto-named ``Dense_{i}``.
+
+  Flatten-order fix: the torch model reshapes NCHW images to length
+  ``L = C*H*W`` vectors in **CHW** element order; our flax MLP flattens
+  NHWC inputs in **HWC** order.  The first layer's input dim and the last
+  layer's output dim are therefore permuted (hidden dims in between carry
+  no spatial meaning and transfer unchanged), so the converted network is
+  the exact same function of the image.
+  """
+  C = config.data.num_channels
+  H = W = config.data.image_size
+  # perm[hwc_index] = chw_index for the same (h, w, c) site.
+  hh, ww, cc = np.meshgrid(np.arange(H), np.arange(W), np.arange(C),
+                           indexing='ij')
+  perm = ((cc * H + hh) * W + ww).reshape(-1)
+
+  n_layers = len(shape) - 1
+  params = {}
+  for i in range(n_layers):
+    kernel = _np(state_dict[f'nn.fc{i}.weight']).T
+    bias = _np(state_dict[f'nn.fc{i}.bias'])
+    if i == 0:
+      kernel = kernel[perm, :]
+    if i == n_layers - 1:
+      kernel = kernel[:, perm]
+      bias = bias[perm]
+    params[f'Dense_{i}'] = {'kernel': kernel, 'bias': bias}
+  return params
+
+
+def substitute_ema_shadow(state_dict: Dict[str, Any],
+                          ema_state: Dict[str, Any]) -> Dict[str, Any]:
+  """Rebuild a state_dict with EMA shadow tensors in place of the params.
+
+  ``shadow_params`` is a flat list in ``model.parameters()`` order
+  (reference models/ema.py:29-30): for the reference DDPM that is the
+  state-dict key order with the ``sigmas`` buffer removed (the only buffer;
+  GroupNorm carries no running stats).
+  """
+  shadows = list(ema_state['shadow_params'])
+  param_keys = [k for k in state_dict if k != 'sigmas']
+  if len(param_keys) != len(shadows):
+    raise ValueError(
+        f'{len(shadows)} EMA shadow tensors vs {len(param_keys)} params')
+  out = dict(state_dict)
+  for k, s in zip(param_keys, shadows):
+    out[k] = s
+  return out
+
+
+def convert_reference_checkpoint(ckpt: Any, config,
+                                 tx: Optional[Any] = None):
+  """Full reference checkpoint (path or loaded dict) -> ``TrainState``.
+
+  ``ckpt`` is the ``torch.save`` payload from reference utils.py:109-128
+  (``info=1`` single-optimizer score-model layout).  Returns a TrainState
+  with converted ``params`` + ``ema_params``, the saved ``step``, and a
+  FRESH optimizer state (``tx.init``; built from ``config.optim`` when
+  ``tx`` is None) — see module docstring for why torch Adam moments don't
+  transfer.
+  """
+  import jax.numpy as jnp
+
+  from b_pinn_kalman_filter_tpu.train import state as state_lib
+
+  if isinstance(ckpt, (str, os.PathLike)):
+    import torch
+    ckpt = torch.load(ckpt, map_location='cpu', weights_only=False)
+
+  if ckpt.get('info', 1) != 1:
+    raise ValueError(
+        'info!=1 is the dual-optimizer PINN layout (reference '
+        'utils.py:111-120); this converter handles score-model (ddpm) '
+        'checkpoints')
+
+  sd = ckpt['model']
+  params = ddpm_params_from_torch_state_dict(sd, config)
+  if 'ema' in ckpt and ckpt['ema'] is not None:
+    ema_sd = substitute_ema_shadow(sd, ckpt['ema'])
+    ema_params = ddpm_params_from_torch_state_dict(ema_sd, config)
+  else:
+    ema_params = jax.tree_util.tree_map(np.copy, params)
+
+  if tx is None:
+    from b_pinn_kalman_filter_tpu.core import losses
+    tx = losses.get_optimizer(config)
+
+  state = state_lib.create_train_state(params, tx, config.model.ema_rate)
+  return state.replace(
+      step=jnp.asarray(int(ckpt.get('step', 0)), jnp.int32),
+      ema_params=ema_params)
