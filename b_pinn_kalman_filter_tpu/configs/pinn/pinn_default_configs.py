@@ -32,7 +32,10 @@ def get_default_configs():
   config.model = model = ml_collections.ConfigDict()
   model.ema_rate = 0.9
   model.arch = 'flownet'
-  model.feature_nums = [16, 32, 64, 96, 128]
+  # Tuple rather than the reference's list (same values, reference
+  # pinn_default_configs.py:35): ml_collections only supports CLI overrides
+  # for tuple-typed fields, and list assignments still coerce to tuple.
+  model.feature_nums = (16, 32, 64, 96, 128)
   model.spatial_embed_omega = 100
   model.spatial_embed_s_flow = 100
   model.spatial_embed_s_pres = 100

@@ -74,22 +74,28 @@ class IdentityKFMeasure:
     self.uncer_pres = patch(uncer_pres, self.dim)
 
   def __call__(self, states: Array) -> Tuple[Array, Array]:
+    return self.apply(states, self.uncer_flow, self.uncer_pres)
+
+  def apply(self, states: Array, uncer_flow: Optional[Array],
+            uncer_pres: Optional[Array]) -> Tuple[Array, Array]:
+    """Pure form with the (per-cycle mutable) uncertainties as explicit
+    arguments, so a whole filter cycle can be jitted without retracing on
+    every ``update_uncertainty``."""
     n = self.dim ** 2
     N = states.shape[0]
     eye = jnp.eye(n, dtype=states.dtype)[None]
-    if self.uncer_flow is None:
+    if uncer_flow is None:
       covar = eye.repeat(N, axis=0) * self.var
       return states, covar
 
     # State ordering is (channel, batch, patch): f-patches first, then u,v
     # (flow), then p (reference ukf_utils.py:52-65).
     quarter = N // 4
-    assert self.uncer_flow.shape[0] == 2 * quarter, \
-        (self.uncer_flow.shape, N)
-    assert self.uncer_pres.shape[0] == quarter
+    assert uncer_flow.shape[0] == 2 * quarter, (uncer_flow.shape, N)
+    assert uncer_pres.shape[0] == quarter
     f_cov = eye.repeat(quarter, axis=0) * self.var
-    uv_cov = jax.vmap(jnp.diag)(self.uncer_flow ** 2)
-    p_cov = jax.vmap(jnp.diag)(self.uncer_pres ** 2)
+    uv_cov = jax.vmap(jnp.diag)(uncer_flow ** 2)
+    p_cov = jax.vmap(jnp.diag)(uncer_pres ** 2)
     covar = jnp.concatenate([f_cov, uv_cov, p_cov], axis=0)
     return states, covar
 
@@ -111,6 +117,11 @@ class InpaintKFMeasure:
     self.operator = operator
 
   def __call__(self, states: Array) -> Tuple[Array, Array]:
+    return self.apply(states, None, None)
+
+  def apply(self, states: Array, uncer_flow=None,
+            uncer_pres=None) -> Tuple[Array, Array]:
+    del uncer_flow, uncer_pres  # fixed-covariance measurement
     n = self.dim ** 2
     # Mask patches aligned with state patches.
     mask = patch(jnp.asarray(self.operator.mask)[None], self.dim)  # (N0, p^2)

@@ -21,16 +21,47 @@ Array = jax.Array
 
 
 class UKF:
-  """Patch-wise square-root UKF (reference UKF, ukf.py:9-44)."""
+  """Patch-wise square-root UKF (reference UKF, ukf.py:9-44).
 
-  def __init__(self, config):
+  The full predict+update cycle is ONE jitted XLA program (the per-cycle
+  B-PINN uncertainties enter as traced arguments, so re-measuring never
+  retraces).  With ``mesh`` given, the N-filter bank is sharded over the
+  mesh's data axis: the cycle's dominant cost — the batched (n x S) QR and
+  Cholesky factorizations per filter — parallelizes 1:1, while the coupled
+  NS dynamics (unpatch -> stencil -> repatch) reshard as XLA sees fit.
+  """
+
+  def __init__(self, config, mesh=None):
     self.dim = config.kf.patch_size
     self.size = config.data.image_size
+    self.mesh = mesh
     self.dynamics = NSDynamics(config)
     self.measurement = IdentityKFMeasure(config)
     self.weights = ukf_core.merwe_weights(self.dim ** 2, alpha=1.0,
                                           beta=0.0, kappa=0.0)
     self.belief: Optional[ukf_core.UKFBelief] = None
+    self._cycle = jax.jit(self._cycle_impl)
+
+  def _cycle_impl(self, belief, obs_state, uncer_flow, uncer_pres):
+    meas = lambda s: self.measurement.apply(s, uncer_flow, uncer_pres)
+    return ukf_core.ukf_step(belief, obs_state, self.weights,
+                             self.dynamics, meas)
+
+  def _shard(self, tree):
+    """Shard every (N, ...) leaf over the mesh data axis (replicate leaves
+    whose leading dim doesn't divide)."""
+    if self.mesh is None:
+      return tree
+    from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
+    n_data = mesh_lib.get_data_axis_size(self.mesh)
+
+    def put(a):
+      sh = (mesh_lib.data_sharding(self.mesh)
+            if a.ndim >= 1 and a.shape[0] % n_data == 0
+            else mesh_lib.replicate_sharding(self.mesh))
+      return jax.device_put(a, sh)
+
+    return jax.tree_util.tree_map(put, tree)
 
   def initialize(self, x0: Optional[Array] = None, var: float = 0.01):
     """(reference ukf.py:25-36)."""
@@ -42,25 +73,26 @@ class UKF:
     else:
       mean = x0
       cov = jnp.eye(n)[None].repeat(x0.shape[0], axis=0) * var
-    self.belief = ukf_core.initialize_beliefs(mean, cov)
+    self.belief = self._shard(ukf_core.initialize_beliefs(mean, cov))
 
   def __call__(self, obsv: Array) -> Array:
     """One filter cycle on a (B, H, W, 4) observation image
     (reference ukf.py:38-44)."""
-    obs_state = patch(obsv, self.dim)
-    self.belief = ukf_core.ukf_step(self.belief, obs_state, self.weights,
-                                    self.dynamics, self.measurement)
+    obs_state = self._shard(patch(obsv, self.dim))
+    uncers = self._shard((self.measurement.uncer_flow,
+                          self.measurement.uncer_pres))
+    self.belief = self._cycle(self.belief, obs_state, *uncers)
     return unpatch(self.belief.mean, self.dim, self.size, 4)
 
 
 class PINN_KF:
   """B-PINN measurement + UKF fusion loop (reference PINN_KF, ukf.py:46-82)."""
 
-  def __init__(self, config, model=None, bparams=None):
+  def __init__(self, config, model=None, bparams=None, mesh=None):
     from b_pinn_kalman_filter_tpu.pinn.pinn_lib import init_pinn
 
     self.config = config
-    self.ukf = UKF(config)
+    self.ukf = UKF(config, mesh=mesh)
     if model is None:
       model, variables = init_pinn(config, jax.random.PRNGKey(config.seed))
       from b_pinn_kalman_filter_tpu.pinn import bayes
@@ -127,7 +159,8 @@ def run(config, ckptdir: Optional[str], workdir: str, n_steps: int = 10):
     restored = ckpt_lib.restore_checkpoint(ckptdir, template)
     bparams = restored.ema_params
 
-  pikal = PINN_KF(config, model, bparams)
+  from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
+  pikal = PINN_KF(config, model, bparams, mesh=mesh_lib.create_mesh(config))
 
   def prep(channel, idx):
     return jnp.asarray(data[idx, channel])[None, :, :, None]

@@ -36,6 +36,6 @@ run simulate --config=b_pinn_kalman_filter_tpu/configs/pinn/pinn_pde.py \
     
 run ukf --config=b_pinn_kalman_filter_tpu/configs/pinn/pinn_pde.py \
     --workdir=$W/ukf --mode=ukf --config.data.image_size=16 \
-    --config.kf.patch_size=4
+    --config.kf.patch_size=4 --config.model.feature_nums='(8,16,32)'
 echo "=== done; tail of each log:"
 for f in $W/*.log; do echo "--- $f"; grep -v WARNING $f | tail -3; done

@@ -227,3 +227,44 @@ class TestSquareRootAtScale:
     assert (np.diag(S) >= 0).all()
     # The filter actually tracks: steady-state error well below the prior.
     assert np.mean(errs[-10:]) < 1e-2, np.mean(errs[-10:])
+
+
+class TestMeshShardedUKF:
+  """Filter bank sharded over the mesh data axis (kalman/ukf_lib.py):
+  the sharded cycle must reproduce the single-program result, with the
+  belief actually distributed over the 8 virtual devices."""
+
+  def _drive(self, mesh):
+    from b_pinn_kalman_filter_tpu.kalman.ukf_lib import UKF
+
+    config = _kf_config()
+    ukf = UKF(config, mesh=mesh)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.random((64, 16)), jnp.float32)  # N=64 patches, n=16
+    ukf.initialize(x0, var=1e-3)
+    # Heteroscedastic B-PINN uncertainties (quarter=16 -> 32 flow + 16 pres).
+    ukf.measurement.update_uncertainty(
+        jnp.asarray(0.05 + 0.01 * rng.random((1, 16, 16, 2)), jnp.float32),
+        jnp.asarray(0.05 + 0.01 * rng.random((1, 16, 16, 1)), jnp.float32))
+    outs = []
+    for step in range(2):
+      obsv = jnp.asarray(rng.random((1, 16, 16, 4)), jnp.float32)
+      outs.append(np.asarray(ukf(obsv)))
+    return outs, ukf
+
+  def test_sharded_cycle_matches_single_device(self):
+    from b_pinn_kalman_filter_tpu.parallel import mesh as mesh_lib
+
+    ref_outs, _ = self._drive(mesh=None)
+    mesh = mesh_lib.create_mesh(_kf_config())
+    assert mesh_lib.get_data_axis_size(mesh) == len(jax.devices()), \
+        "conftest should give 8 virtual devices"
+    sh_outs, ukf = self._drive(mesh=mesh)
+
+    for a, b in zip(sh_outs, ref_outs):
+      np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    # The belief really is distributed: each filter row lives on one device.
+    sharding = ukf.belief.mean.sharding
+    assert not sharding.is_fully_replicated
+    assert sharding.shard_shape(ukf.belief.mean.shape)[0] \
+        == 64 // len(jax.devices())
