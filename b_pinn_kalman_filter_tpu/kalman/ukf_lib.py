@@ -93,6 +93,7 @@ class PINN_KF:
 
     self.config = config
     self.ukf = UKF(config, mesh=mesh)
+    self._measure = jax.jit(self._measure_impl, static_argnames=('n',))
     if model is None:
       model, variables = init_pinn(config, jax.random.PRNGKey(config.seed))
       from b_pinn_kalman_filter_tpu.pinn import bayes
@@ -109,21 +110,34 @@ class PINN_KF:
     self.ukf.initialize(initial_state, var)
     self.f_prev = f
 
+  def _measure_impl(self, rng, bparams, f1, f2, x, y, t, n=8):
+    """B-PINN MC measurement as ONE jitted program: n posterior draws
+    (vmapped) reduced to mean/std in-device — eagerly this is hundreds of
+    per-primitive dispatches per fusion cycle on the TPU tunnel.
+
+    The draw axis is deliberately NOT sharding-constrained: vmap folds it
+    into the convolutions' ``feature_group_count``, and a draw-axis
+    constraint propagates back into those grouped convs, which GSPMD then
+    partitions inconsistently (kernel output split n ways while the group
+    count stays n — invalid conv at lowering, observed on the 8-device
+    mesh).  The measurement is small (n=8 draws of one image); the
+    multi-chip axis of this pipeline is the UKF filter bank."""
+    from b_pinn_kalman_filter_tpu.pinn import bayes
+
+    flows, press = bayes.sample_uvp(
+        rng, self.model, bparams, f1, f2, x, y, t, n=n,
+        size=(self.ukf.size, self.ukf.size))
+    return (flows.mean(axis=0), flows.std(axis=0),
+            press.mean(axis=0), press.std(axis=0))
+
   def __call__(self, rng: Array, x: Array, y: Array, t: Array,
                f: Array) -> Array:
     """(reference ukf.py:66-82)."""
-    from b_pinn_kalman_filter_tpu.pinn import bayes
-
     if self.f_prev is None:
       self.f_prev = jnp.ones_like(f) * 0.1
 
-    flows, press = bayes.sample_uvp(
-        rng, self.model, self.bparams, self.f_prev, f, x, y, t, n=8,
-        size=(self.ukf.size, self.ukf.size))
-    flow_uncer = flows.std(axis=0)
-    pres_uncer = press.std(axis=0)
-    flow = flows.mean(axis=0)
-    pres = press.mean(axis=0)
+    flow, flow_uncer, pres, pres_uncer = self._measure(
+        rng, self.bparams, self.f_prev, f, x, y, t)
 
     self.f_prev = f
     self.ukf.measurement.update_uncertainty(flow_uncer, pres_uncer)
