@@ -36,13 +36,19 @@ def simulate(model, params, config, begin, t_range=(0, 100), stride=1):
 
   result, vel = [], []
   size = (config.data.image_size, config.data.image_size)
+
+  # One jitted program per frame (constant shapes -> single compile); an
+  # eager model.apply here is per-primitive dispatch on the TPU tunnel.
+  @jax.jit
+  def one(f1, f2, tt):
+    flow, _pres = model.apply({'params': params}, f1, f2, x, y, tt,
+                              size=size, train=False)
+    return pinn_step(f2, flow[-1], config.data.dt), flow[-1]
+
   for t in range(t0, tm, stride):
-    tt = jnp.asarray([float(t)])
-    flow, pres = model.apply({'params': params}, f1, f2, x, y, tt,
-                             size=size, train=False)
-    f = pinn_step(f2, flow[-1], config.data.dt)
+    f, fl = one(f1, f2, jnp.asarray([float(t)]))
     result.append(f)
-    vel.append(flow[-1])
+    vel.append(fl)
     f1, f2 = f2, f
 
   return result, vel
