@@ -205,3 +205,15 @@ class TestBPINN:
     state, (loss, v, p) = step_fn(jax.random.PRNGKey(1), state, mask,
                                   _batch(config))
     assert np.isfinite(float(loss)) and int(state.step) == 1
+
+
+def test_flownet_rejects_indivisible_image_size():
+  """The coarse-to-fine cascade needs image_size % 2^levels == 0; FlowNet
+  must fail with a clear message instead of a shape error 4 levels deep
+  (models/flownet.py)."""
+  config = tiny_pinn_config()
+  config.data.image_size = 16
+  config.model.feature_nums = [4, 8, 16, 32, 64]   # 5 levels: 16 % 32 != 0
+  from b_pinn_kalman_filter_tpu.pinn.pinn_lib import init_pinn
+  with pytest.raises(ValueError, match='divisible by 2\\^5'):
+    init_pinn(config, jax.random.PRNGKey(0))
