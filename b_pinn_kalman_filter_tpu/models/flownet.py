@@ -180,17 +180,18 @@ class FlowNet(nn.Module):
   def __call__(self, f1, f2, x, y, t, size=None, train=True):
     config = self.config
     n_levels = len(config.model.feature_nums)
-    if f1.shape[1] % (2 ** n_levels) != 0:
+    if (f1.shape[1] % (2 ** n_levels) != 0
+        or f1.shape[2] % (2 ** n_levels) != 0):
       # Each pyramid level halves the resolution and the coarse-to-fine
       # cascade doubles flow fields back up; a non-divisible input size
       # desynchronizes feature and flow grids mid-cascade (the reference
       # has the same constraint implicitly — its default is 64 with 5
       # levels).  Fail clearly instead of with a shape error 4 levels deep.
       raise ValueError(
-          f'image size {f1.shape[1]} must be divisible by 2^{n_levels} '
-          f'(= {2 ** n_levels}) for {n_levels} pyramid levels; shrink '
-          f"config.model.feature_nums (CLI: --config.model.feature_nums="
-          f"'(8,16,32)') or pad the input")
+          f'image size {f1.shape[1]}x{f1.shape[2]} must be divisible by '
+          f'2^{n_levels} (= {2 ** n_levels}) for {n_levels} pyramid levels; '
+          f"shrink config.model.feature_nums (CLI: --config.model."
+          f"feature_nums='(8,16,32)') or pad the input")
     extractor = FeatureExtractor(config)
     f1_features = extractor(f1, x, y, t)
     f2_features = extractor(f2, x, y, t)

@@ -43,6 +43,18 @@ def _np(t) -> np.ndarray:
   return np.asarray(t, dtype=np.float32)
 
 
+def strip_module_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+  """Drop the ``module.`` prefix torch.nn.DataParallel adds to every key.
+
+  The reference wraps every score model in DataParallel at creation
+  (reference models/utils.py:93) and saves ``state['model'].state_dict()``
+  (utils.py:116), so real checkpoints carry ``module.all_modules.0.weight``
+  etc.  Unwrapped state_dicts pass through unchanged."""
+  if state_dict and all(k.startswith('module.') for k in state_dict):
+    return {k[len('module.'):]: v for k, v in state_dict.items()}
+  return dict(state_dict)
+
+
 def _conv(sd: Dict[str, Any], prefix: str, used: set) -> Dict[str, np.ndarray]:
   used.add(prefix + '.weight')
   out = {'kernel': _np(sd[prefix + '.weight']).transpose(2, 3, 1, 0)}
@@ -147,6 +159,7 @@ def ddpm_params_from_torch_state_dict(state_dict: Dict[str, Any],
   a shape/architecture mismatch between the checkpoint and ``config``
   surfaces as a KeyError/transpose error instead of silent garbage.
   """
+  state_dict = strip_module_prefix(state_dict)
   used: set = set()
   params: Dict[str, Any] = {}
 
@@ -216,6 +229,7 @@ def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
   no spatial meaning and transfer unchanged), so the converted network is
   the exact same function of the image.
   """
+  state_dict = strip_module_prefix(state_dict)
   C = config.data.num_channels
   H = W = config.data.image_size
   # perm[hwc_index] = chw_index for the same (h, w, c) site.
@@ -282,11 +296,17 @@ def convert_reference_checkpoint(ckpt: Any, config,
         'utils.py:111-120); this converter handles score-model (ddpm) '
         'checkpoints')
 
-  sd = ckpt['model']
-  params = ddpm_params_from_torch_state_dict(sd, config)
+  sd = strip_module_prefix(ckpt['model'])
+  # Dispatch on the registry name the config selects (reference
+  # models/utils.py registry: 'mlp' is the only non-ModuleList score model).
+  if config.model.name == 'mlp':
+    convert = lambda d: mlp_params_from_torch_state_dict(d, config)
+  else:
+    convert = lambda d: ddpm_params_from_torch_state_dict(d, config)
+  params = convert(sd)
   if 'ema' in ckpt and ckpt['ema'] is not None:
     ema_sd = substitute_ema_shadow(sd, ckpt['ema'])
-    ema_params = ddpm_params_from_torch_state_dict(ema_sd, config)
+    ema_params = convert(ema_sd)
   else:
     ema_params = jax.tree_util.tree_map(np.copy, params)
 

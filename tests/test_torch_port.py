@@ -177,3 +177,53 @@ def test_mlp_converted_forward_matches_torch():
                       jnp.zeros((4,)), train=False)
   np.testing.assert_allclose(np.asarray(out_j).transpose(0, 3, 1, 2), out_t,
                              rtol=1e-4, atol=1e-5)
+
+
+def test_dataparallel_wrapped_checkpoint_converts():
+  """Real reference checkpoints are saved from a torch.nn.DataParallel-
+  wrapped model (reference models/utils.py:93, utils.py:116), so every key
+  is 'module.'-prefixed — the converter must strip it."""
+  config = _parity_config()
+  oracle, model, params_direct = _oracle_and_flax(config)
+  wrapped = torch.nn.DataParallel(oracle)
+  sd = wrapped.state_dict()
+  assert all(k.startswith('module.') for k in sd), list(sd)[:2]
+
+  params = torch_port.ddpm_params_from_torch_state_dict(sd, config)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_array_equal(a, b),
+      params, params_direct)
+
+  ckpt = {'info': 1, 'model': sd,
+          'ema': {'decay': 0.999, 'num_updates': 5,
+                  'shadow_params': [p.detach().clone()
+                                    for p in wrapped.parameters()]},
+          'step': 7}
+  state = torch_port.convert_reference_checkpoint(ckpt, config)
+  assert int(state.step) == 7
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_array_equal(a, b),
+      state.ema_params, params_direct)
+
+
+def test_full_checkpoint_conversion_mlp_dispatch():
+  """convert_reference_checkpoint must route 'mlp' configs through the MLP
+  converter (the DDPM all_modules walk would KeyError)."""
+  config = tiny_configs.tiny_mlp_config()
+  L = config.data.num_channels * config.data.image_size ** 2
+  shape = (1, 3, 3, 1)
+  seq = torch.nn.Sequential()
+  for i in range(len(shape) - 1):
+    seq.add_module(f'fc{i}', torch.nn.Linear(L * shape[i], L * shape[i + 1]))
+
+  class Holder(torch.nn.Module):
+    def __init__(self):
+      super().__init__()
+      self.nn = seq
+
+  torch.manual_seed(5)
+  holder = Holder()
+  ckpt = {'info': 1, 'model': holder.state_dict(), 'step': 42}
+  state = torch_port.convert_reference_checkpoint(ckpt, config)
+  assert int(state.step) == 42
+  assert set(state.params) == {f'Dense_{i}' for i in range(3)}
