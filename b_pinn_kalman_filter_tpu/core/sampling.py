@@ -210,6 +210,14 @@ def get_sampling_fn(config, sde, model, shape, inverse_scaler, eps,
                            inverse_scaler=inverse_scaler,
                            denoise=config.sampling.noise_removal, eps=eps,
                            sharding=sharding)
+  elif sampler_name.lower() == 'dpm_solver':
+    return get_dpm_solver_sampler(
+        sde=sde, model=model, shape=shape, inverse_scaler=inverse_scaler,
+        steps=config.sampling.get('dpm_steps', 20),
+        order=config.sampling.get('dpm_order', 2),
+        skip_type=config.sampling.get('dpm_skip', 'logsnr'),
+        continuous=config.training.continuous,
+        denoise=config.sampling.noise_removal, eps=eps, sharding=sharding)
   elif sampler_name.lower() == 'pc':
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())
@@ -276,6 +284,119 @@ def get_pc_sampler(sde, model, shape, predictor, corrector, inverse_scaler,
     return core(rng, score_fn)
 
   return pc_sampler
+
+
+def _dpm_schedule(sde, steps: int, skip_type: str, eps: float):
+  """Time grid + (alpha, sigma, lambda) tables for DPM-Solver.
+
+  ``lambda(t) = log(alpha_t / sigma_t)`` is the half-log-SNR; it is strictly
+  decreasing in t for the VP/subVP/VE families here.  ``'logsnr'`` spacing
+  (uniform in lambda, the DPM-Solver recommendation for few-step sampling)
+  inverts lambda(t) by monotone interpolation on a dense grid so it stays
+  SDE-agnostic; ``'time'`` matches the reference PC sampler's
+  ``linspace(T, eps, N)`` spacing (reference sampling.py:401).
+  """
+  t_dense = jnp.linspace(eps, sde.T, 4096)
+  a_d, s_d = sde.marginal_coef(t_dense)
+  lam_d = jnp.log(a_d) - jnp.log(s_d)  # decreasing in t
+  if skip_type == 'logsnr':
+    lams = jnp.linspace(lam_d[-1], lam_d[0], steps + 1)
+    ts = jnp.interp(lams, lam_d[::-1], t_dense[::-1])
+    # Pin the endpoints exactly (interp is within float error anyway).
+    ts = ts.at[0].set(sde.T).at[-1].set(eps)
+  elif skip_type == 'time':
+    ts = jnp.linspace(sde.T, eps, steps + 1)
+  else:
+    raise ValueError(f"Unknown dpm skip_type: {skip_type}")
+  alphas, sigmas = sde.marginal_coef(ts)
+  lams = jnp.log(alphas) - jnp.log(sigmas)
+  return ts, alphas, sigmas, lams
+
+
+def get_dpm_solver_sampler_from_score(sde, shape, inverse_scaler,
+                                      steps: int = 20, order: int = 2,
+                                      skip_type: str = 'logsnr',
+                                      denoise: bool = True, eps: float = 1e-3,
+                                      sharding=None) -> Callable:
+  """DPM-Solver++ (data-prediction, multistep) sampler: ``fn(rng, score_fn)``.
+
+  Beyond-parity fast sampler (Lu et al. 2022, DPM-Solver++; PAPERS.md): the
+  reference's PC loop costs N=1000-2000 U-Net evals and our scanned version
+  already runs it at ~87% conv MFU (BASELINE.md), so the only remaining
+  speed axis is NFE reduction.  This is a training-free high-order ODE
+  solver in lambda (half-log-SNR) space — ``steps`` model evals total, one
+  per step, as a single ``lax.scan`` XLA program.  The exact-semantics PC
+  sampler stays the default; select with ``sampling.method='dpm_solver'``.
+
+  Update rule (x0-prediction, 2M): with h_i = lam_i - lam_{i-1} > 0,
+  r_i = h_{i-1}/h_i, and x0_i the Tweedie prediction at t_{i-1},
+    D_i = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}        (first step: x0_1)
+    x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i.
+  ``order=1`` drops the multistep correction (= DDIM).  Works for VP, subVP
+  (whose kernel std really is 1 - alpha^2, core/sde.py:204-208) and VE
+  (alpha = 1, lambda = -log sigma) alike via ``marginal_coef``.
+  """
+  if order not in (1, 2):
+    raise ValueError(f"dpm_order must be 1 or 2, got {order}")
+  if steps < 1:
+    raise ValueError(f"dpm_steps must be >= 1, got {steps}")
+  ts, alphas, sigmas, lams = _dpm_schedule(sde, steps, skip_type, eps)
+  h = lams[1:] - lams[:-1]                       # (M,), positive
+  if order == 2 and steps > 1:
+    # c2_i = 1/(2 r_i) = h_i / (2 h_{i-1}) for i >= 2; first step is order-1.
+    c2 = jnp.concatenate([jnp.zeros(1), h[1:] / (2.0 * h[:-1])])
+  else:
+    c2 = jnp.zeros(steps)
+  sig_ratio = sigmas[1:] / sigmas[:-1]
+  phi = jnp.expm1(-h)
+
+  def sampler(rng, score_fn, z=None):
+    rng, prior_rng, den_rng = jax.random.split(rng, 3)
+    del den_rng  # deterministic solver: no final stochastic step
+    x = sde.prior_sampling(prior_rng, shape) if z is None else z
+    x = _constrain(x, sharding)
+
+    def x0_pred(x, t):
+      vec_t = jnp.full((shape[0],), t)
+      a, s = sde.marginal_coef(vec_t)
+      score = score_fn(x, vec_t)
+      return batch_mul(1.0 / a, x + batch_mul(s ** 2, score))
+
+    def step(carry, inp):
+      x, prev_x0 = carry
+      t_prev, ratio, a_next, ph, c = inp
+      x0 = x0_pred(x, t_prev)
+      d = (1.0 + c) * x0 - c * prev_x0
+      x = ratio * x - a_next * ph * d
+      return (x, x0), None
+
+    inputs = (ts[:-1], sig_ratio, alphas[1:], phi, c2)
+    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), inputs)
+    nfe = steps
+    if denoise:
+      x = x0_pred(x, ts[-1])
+      nfe += 1
+    return inverse_scaler(x), nfe
+
+  return sampler
+
+
+def get_dpm_solver_sampler(sde, model, shape, inverse_scaler,
+                           steps: int = 20, order: int = 2,
+                           skip_type: str = 'logsnr',
+                           continuous: bool = True, denoise: bool = True,
+                           eps: float = 1e-3, sharding=None) -> Callable:
+  """Model-facing DPM-Solver++ sampler: ``fn(rng, params) -> (samples, nfe)``."""
+  core = get_dpm_solver_sampler_from_score(
+      sde, shape, inverse_scaler, steps=steps, order=order,
+      skip_type=skip_type, denoise=denoise, eps=eps, sharding=sharding)
+
+  def sampler(rng, params):
+    score_fn = mutils.get_score_fn(sde, model, params, train=False,
+                                   continuous=continuous)
+    return core(rng, score_fn)
+
+  return sampler
 
 
 def get_ode_sampler(sde, model, shape, inverse_scaler, denoise: bool = False,
