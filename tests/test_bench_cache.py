@@ -52,6 +52,41 @@ def test_missing_cache_emit_returns_false(tmp_cache):
   assert not bench._cache_emit('train')
 
 
+def test_emit_on_cpu_backend_does_not_cache(tmp_cache, capsys):
+  """A CPU dev-drive of a bench stage must print its JSON line but never
+  enter BENCH_CACHE.json, or a later cache fallback would re-emit a
+  tiny-model CPU number as an on-chip measurement (caught live r3)."""
+  bench._emit('train_imgs_per_sec_cifar10_ddpmpp_batch128_bf16',
+              12.3, 'imgs/sec', 1.0)  # tests run with JAX_PLATFORMS=cpu
+  line = json.loads(capsys.readouterr().out.strip())
+  assert line['value'] == 12.3
+  assert not tmp_cache.exists()
+  assert not bench._cache_emit('train')
+
+
+def test_stage_registry_consistent():
+  """Every secondary stage must have a bench fn, a metric list for cache
+  fallback, and an expected wall-time for budget gating."""
+  for name in bench._SECONDARY_ORDER:
+    assert name in bench._STAGES
+    assert bench._SECONDARY_METRICS.get(name), name
+    assert name in bench._EXPECTED_SECONDARY_S
+  assert 'sampling' in bench._STAGES
+  assert bench._SECONDARY_METRICS['sampling'][-1] == (
+      'pc_sampling_imgs_per_sec_per_chip_cifar10_ddpmpp_n1000')
+  # Parity metrics take budget priority over the beyond-parity dpm row.
+  assert bench._SECONDARY_ORDER.index('dpm') > bench._SECONDARY_ORDER.index(
+      'pinn')
+
+
+def test_dpm_cache_slot(tmp_cache, capsys):
+  rec = {'metric': 'dpm_solver_sampling_imgs_per_sec_per_chip_nfe20',
+         'value': 250.0, 'unit': 'imgs/sec/chip', 'vs_baseline': 113.6}
+  bench._cache_store(rec)
+  assert bench._cache_emit('dpm')
+  assert json.loads(capsys.readouterr().out.strip())['cached'] is True
+
+
 def test_sampling_cache_order_ends_on_headline(tmp_cache, capsys):
   """The driver tail-parses the LAST JSON line as the headline metric, so
   cached sampling emission must end on pc_sampling_imgs_per_sec..."""
