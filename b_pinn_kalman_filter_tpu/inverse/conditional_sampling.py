@@ -26,7 +26,10 @@ from b_pinn_kalman_filter_tpu.models import registry as mutils
 def _solve(config, ode_func, x0, t1, eps):
   """Solver dispatch (reference conditional_sampling.py:10-27)."""
   solver = config.inverse.solver
-  if solver in ('RK45', 'RK23'):
+  # Case-normalized: the reference matches 'RK45'/'RK23' exactly, but a
+  # lowercase 'rk45' silently reaching the NotImplementedError cost a chip
+  # run (advisor round 3) — accept either case, same dispatch.
+  if solver.upper() in ('RK45', 'RK23'):
     # RK23 requests fall through to the same on-device Dormand-Prince 5(4);
     # tolerances match the reference call (rtol=atol=1e-3).  The DPS vector
     # field is stiff near t=T (the Tweedie x0_hat divides x_t by the tiny
@@ -36,8 +39,11 @@ def _solve(config, ode_func, x0, t1, eps):
     return result.y
   elif solver == 'fixed':
     # Reference: 5000 steps of x += f(t, x) * dt with dt = -2e-5
-    # over t in linspace(t1, eps, 5000).
-    ts = jnp.linspace(t1, eps, 5000)
+    # over t in linspace(t1, eps, 5000).  `inverse.fixed_steps` is a
+    # TPU-config extension (default = the reference's 5000) so cheap dry
+    # runs can validate the same scanned program with fewer iterations.
+    n_steps = int(config.inverse.get('fixed_steps', 5000))
+    ts = jnp.linspace(t1, eps, n_steps)
 
     def step(x, t):
       return x + ode_func(t, x) * (-2e-5), None

@@ -67,10 +67,32 @@ def _vmem_fits(f1) -> bool:
   return bytes_needed * 3 < 12 * 2 ** 20
 
 
+def _under_batching(x) -> bool:
+  """True when ``x`` is a vmap tracer at any nesting level.
+
+  vmap's batching rule for ``pallas_call`` folds the mapped axis into the
+  block shapes, multiplying the per-program VMEM footprint by the vmap
+  width — which ``_vmem_fits`` (trace-time, unbatched shape) cannot see.
+  Observed: the B-PINN UKF measurement vmaps the PINN over 8 MC draws and
+  the 40.19M blocks blow the 16M scoped-VMEM limit at server-side compile,
+  where the ``except Exception`` fallback can no longer catch it
+  (chip_logs/ukf.log, advisor round 3).
+  """
+  from jax._src import core as _core              # no public Tracer alias
+  from jax._src.interpreters import batching as _batching
+  while isinstance(x, _core.Tracer):
+    if isinstance(x, _batching.BatchTracer):
+      return True
+    x = getattr(x, 'val', getattr(x, 'primal', None))
+  return False
+
+
 def correlation_auto(f1, f2, stride: int = 1):
-  """Pallas on TPU for stride-1 when the tile fits VMEM; XLA elsewhere."""
+  """Pallas on TPU for stride-1 when the tile fits VMEM; XLA elsewhere
+  (including under vmap, where the batched block would not fit)."""
   if (stride == 1 and _HAVE_TPU_PALLAS
-      and jax.devices()[0].platform == 'tpu' and _vmem_fits(f1)):
+      and jax.devices()[0].platform == 'tpu' and _vmem_fits(f1)
+      and not (_under_batching(f1) or _under_batching(f2))):
     try:
       return correlation_pallas(f1, f2, stride)
     except Exception:

@@ -314,22 +314,40 @@ def bench_dpm():
 
 # Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
 # server-side remote compiles, no persistent cache so every process pays).
-# Round-3 full-run measurements: headline sampling stage 1067 s, train
-# 1133 s, PINN phase-2 (literal schedule) 1653 s — 3860 s total, which is
-# why the BENCH_DEADLINE default keeps the PINN stage on the cache path
-# unless the budget is raised.  The dpm stage's scan body is the same
-# U-Net as the headline, so its server-side compile is comparable (~900 s
-# expected); it runs LAST so the parity metrics always take budget
-# priority over the beyond-parity row.
-_EXPECTED_SECONDARY_S = {'train': 1200, 'pinn': 1700, 'dpm': 900}
+# Round-3 measurements: headline sampling stage 1067 s, train 1133 s,
+# PINN phase-2 (literal schedule) 1653 s, dpm 634 s (chip queue).  The
+# PINN stage can never fit the in-driver budget (headline + 1653 s >
+# any plausible driver timeout) — it rides the cache, refreshed by
+# `bench.py --only pinn` runs during tunnel windows.
+_EXPECTED_SECONDARY_S = {'train': 1150, 'pinn': 1700, 'dpm': 700}
 
 # Single stage registry: --only dispatch, the secondary run order, and the
 # cache-fallback metric map all derive from here (a stage added in one
 # place cannot be silently missing from another).
 _STAGES = {'sampling': bench_sampling, 'train': bench_train,
            'pinn': bench_pinn, 'dpm': bench_dpm}
-# Secondaries in budget-priority order: parity metrics before beyond-parity.
 _SECONDARY_ORDER = ('train', 'pinn', 'dpm')
+
+
+def _stale_first_order():
+  """Secondaries ordered stalest-cache-first (never-measured first).
+
+  Only ~one secondary fits the post-headline budget per driver run, so
+  rotating by cache age keeps every metric's on-chip number as fresh as
+  the budget allows across rounds instead of always re-measuring train.
+  """
+  def age_key(name):
+    try:
+      with open(_CACHE_PATH) as f:
+        cache = json.load(f)
+    except (OSError, ValueError):
+      return ''
+    stamps = [cache[m]['measured_at'] for m in _SECONDARY_METRICS[name]
+              if m in cache and 'measured_at' in cache[m]]
+    if len(stamps) < len(_SECONDARY_METRICS[name]):
+      return ''   # some metric never measured: highest priority
+    return min(stamps)  # ISO timestamps sort lexicographically
+  return sorted(_SECONDARY_ORDER, key=age_key)
 
 
 def _run_secondary(name: str, deadline: float):
@@ -352,7 +370,10 @@ def _run_secondary(name: str, deadline: float):
   expected = _EXPECTED_SECONDARY_S.get(name, 900)
   for attempt in range(2):  # tunnel stream errors are transient — retry once
     remaining = deadline - _elapsed()
-    if remaining < 0.6 * expected:
+    # Full-expected gate (BENCH_r03 rc=124 post-mortem): with a 0.6x gate a
+    # compile-dominated stage could start with too little budget, eat the
+    # rest of the deadline, and get the whole bench killed by the driver.
+    if remaining < expected:
       print(json.dumps({
           "metric": f"bench_{name}_skipped",
           "error": (f"budget: {remaining:.0f}s left < expected ~{expected}s "
@@ -415,7 +436,10 @@ def main():
     return
   # Whole-bench budget: stages that don't fit are skipped with a JSON
   # explanation rather than running into the driver's hard timeout.
-  deadline = float(os.environ.get('BENCH_DEADLINE', '3100'))
+  # 2400 s default: BENCH_r02 and _r03 both hit the driver's kill (rc=124)
+  # with a 3100 s self-deadline, so the driver budget is <= ~3000 s; 2400
+  # leaves headroom for the exit path and tail flushing.
+  deadline = float(os.environ.get('BENCH_DEADLINE', '2400'))
   if not _tunnel_alive():
     # Emit the last on-chip measurements (labeled cached) so the driver
     # record carries every metric even through a tunnel outage.
@@ -437,7 +461,7 @@ def main():
                            "error": f"{type(e).__name__}: {e}"[:200]})
     print(headline, flush=True)
     _cache_emit('sampling')  # last on-chip headline, labeled cached
-  for name in _SECONDARY_ORDER:
+  for name in _stale_first_order():
     _run_secondary(name, deadline)
     print(headline, flush=True)
 

@@ -20,7 +20,7 @@ config = configs.get_config("vp/cifar10_ddpmpp_continuous")
 if 'inverse' not in config:
   config.inverse = ml_collections.ConfigDict(dict(
       operator='inpaint', invert=False, ratio=0.5, sampler='dps',
-      variance=0.01, solver='rk45'))
+      variance=0.01, solver='RK45'))
 print("devices:", jax.devices(), flush=True)
 
 B = 16

@@ -10,6 +10,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 mkdir -p chip_logs
+echo "=== queue run $(date -u +%Y-%m-%dT%H:%M:%SZ) ===" >> chip_logs/queue_status.log
 
 run() {
   local name=$1 tmo=$2; shift 2
@@ -18,13 +19,13 @@ run() {
   echo "=== [$name] rc=$? end $(date +%H:%M:%S)" | tee -a chip_logs/queue_status.log
 }
 
-# Order: dpm first — cheapest item and it write-through caches its metric
-# into BENCH_CACHE.json, so the driver-visible record gains the
-# beyond-parity row even if a later outage cuts the queue short.  Then the
-# parity-evidence runs (lfn = last partial component P19), then the
-# re-measures.
-run dpm  3600 python bench.py --only dpm
-run lfn  7200 python scripts/chip_queue/chip_lfn.py
+# Round-4 order: the two round-3 failures first (ukf: Pallas correlation
+# scoped-VMEM OOM under vmap, now XLA-fallback-guarded; dps: solver name
+# case mismatch, now normalized), then a pinn cache refresh — the PINN
+# metric can never run live inside the driver's bench budget (compile
+# ~28 min), so BENCH_CACHE.json is its only driver-visible path and it is
+# currently the stalest entry.  dpm + lfn passed round 3 (rc=0, logs kept).
 run ukf  5400 python scripts/chip_queue/chip_ukf.py
 run dps  3600 python scripts/chip_queue/chip_dps.py
+run pinn 3600 python bench.py --only pinn
 echo "=== queue done $(date +%H:%M:%S)" | tee -a chip_logs/queue_status.log

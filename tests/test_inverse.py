@@ -177,6 +177,34 @@ def test_dps_recovers_observed_pixels(monkeypatch):
   assert obs_err < 0.28, obs_err
 
 
+def test_solver_dispatch_case_and_fixed_steps(monkeypatch):
+  """'rk45' lowercase must dispatch like 'RK45' (a case mismatch silently
+  cost a chip run, advisor round 3), and the 'fixed' solver must honor the
+  optional TPU-config `fixed_steps` knob (default: the reference's 5000)."""
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+  monkeypatch.setattr(registry, 'get_score_fn',
+                      lambda *a, **k: _analytic_score(sde))
+  mask = _checkerboard(4, 4)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  origin = jnp.full((2, 4, 4, 1), MU0)
+  obsv = LOBSVSDE(sde, op(origin, keep_shape=False), op)
+
+  config = _make_config(solver='rk45', sampler='dps', variance=0.1)
+  sampler = conditional_sampling.get_dps_sampler(config, obsv, origin.shape,
+                                                 eps=1e-3)
+  out = sampler(jax.random.PRNGKey(0), None, None)
+  assert np.isfinite(np.asarray(out)).all()
+
+  config = _make_config(solver='fixed', sampler='dps', variance=0.1)
+  config.inverse.fixed_steps = 20
+  sampler = conditional_sampling.get_dps_sampler(config, obsv, origin.shape,
+                                                 eps=1e-3)
+  out = sampler(jax.random.PRNGKey(0), None, None)
+  assert out.shape == origin.shape
+  assert np.isfinite(np.asarray(out)).all()
+
+
 def test_controlled_sampler_runs(monkeypatch):
   from b_pinn_kalman_filter_tpu.models import registry
   sde = sde_lib.VPSDE(N=100)

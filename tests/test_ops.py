@@ -183,3 +183,27 @@ class TestCorrelationPallas:
     a = correlation(f1, f2, 1)
     b = correlation_pallas(f1, f2, 1, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+  def test_auto_detects_batching_trace(self):
+    # vmap multiplies the Pallas block VMEM footprint by the mapped width,
+    # which the unbatched-shape check can't see (chip_logs/ukf.log: 8 MC
+    # draws -> 40.19M > 16M scoped VMEM at server-side compile).  The auto
+    # dispatcher must see the batching trace and take the XLA path.
+    from b_pinn_kalman_filter_tpu.ops import correlation_pallas as cp
+    seen = []
+
+    def probe(f1, f2):
+      seen.append(cp._under_batching(f1))
+      return cp.correlation_auto(f1, f2, 1)
+
+    rng = np.random.default_rng(1)
+    f1 = jnp.asarray(rng.standard_normal((4, 2, 8, 8, 8)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((4, 2, 8, 8, 8)), jnp.float32)
+    out = jax.vmap(probe)(f1, f2)
+    assert seen == [True]
+    assert cp._under_batching(f1[0]) is False
+    # vmap-of-auto must still equal the plain XLA correlation per slice.
+    from b_pinn_kalman_filter_tpu.ops.correlation import correlation
+    np.testing.assert_allclose(np.asarray(out[2]),
+                               np.asarray(correlation(f1[2], f2[2], 1)),
+                               atol=1e-6)
