@@ -98,24 +98,25 @@ def _cache_store(record):
     pass
 
 
-def _cache_emit(name: str) -> bool:
-  """Re-emit the last successful on-chip measurement for a secondary whose
+def _cache_emit(name: str):
+  """Re-emit the last successful on-chip measurement for a stage whose
   live run did not fit the budget — labeled ``"cached": true`` with its
-  measurement timestamp, never silently."""
+  measurement timestamp, never silently.  Returns the last line emitted
+  (the stage's primary metric, since metric lists end with it) or None."""
   try:
     with open(_CACHE_PATH) as f:
       cache = json.load(f)
   except (OSError, ValueError):
-    return False
-  emitted = False
+    return None
+  last = None
   for metric in _SECONDARY_METRICS.get(name, []):
     rec = cache.get(metric)
     if rec:
       rec = dict(rec)
       rec['cached'] = True
-      print(json.dumps(rec), flush=True)
-      emitted = True
-  return emitted
+      last = json.dumps(rec)
+      print(last, flush=True)
+  return last
 
 
 def _emit(metric, value, unit, baseline):
@@ -319,7 +320,8 @@ def bench_dpm():
 # PINN stage can never fit the in-driver budget (headline + 1653 s >
 # any plausible driver timeout) — it rides the cache, refreshed by
 # `bench.py --only pinn` runs during tunnel windows.
-_EXPECTED_SECONDARY_S = {'train': 1150, 'pinn': 1700, 'dpm': 700}
+_EXPECTED_SECONDARY_S = {'sampling': 1100, 'train': 1150, 'pinn': 1700,
+                         'dpm': 700}
 
 # Single stage registry: --only dispatch, the secondary run order, and the
 # cache-fallback metric map all derive from here (a stage added in one
@@ -379,8 +381,7 @@ def _run_secondary(name: str, deadline: float):
           "error": (f"budget: {remaining:.0f}s left < expected ~{expected}s "
                     "(compile-dominated; see BASELINE.md for hand-run value)"),
       }), flush=True)
-      _cache_emit(name)
-      return
+      return _cache_emit(name)
     timeout = int(min(float(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700')),
                       max(remaining - 30, 120)))
     try:
@@ -390,20 +391,19 @@ def _run_secondary(name: str, deadline: float):
     except subprocess.TimeoutExpired:
       print(json.dumps({"metric": f"bench_{name}_error",
                         "error": f"timeout after {timeout}s"}), flush=True)
-      _cache_emit(name)
-      return
-    emitted = False
+      return _cache_emit(name)
+    emitted = None
     for line in proc.stdout.splitlines():
       if line.startswith('{'):
         print(line, flush=True)
-        emitted = True
+        emitted = line
     if proc.returncode == 0 and emitted:
-      return
+      return emitted
     err_lines = [l for l in proc.stderr.splitlines() if 'Error' in l]
     err = (err_lines[-1] if err_lines else proc.stderr[-200:])[:300]
     print(json.dumps({"metric": f"bench_{name}_error",
                       "attempt": attempt + 1, "error": err}), flush=True)
-  _cache_emit(name)
+  return _cache_emit(name)
 
 
 def _tunnel_alive(timeout_s: int = 600) -> bool:
@@ -453,14 +453,16 @@ def main():
     return
   # Headline FIRST (so it exists even if the driver kills a long secondary
   # bench), then re-printed after every secondary so the driver's
-  # last-JSON-line tail-parse lands on it at any interruption point.
-  try:
-    headline = bench_sampling()
-  except Exception as e:
+  # last-JSON-line tail-parse lands on it at any interruption point.  The
+  # headline runs through the same watchdogged subprocess as the
+  # secondaries: a mid-run tunnel stall is a 0%-CPU block no in-process
+  # exception ever interrupts, and it must fall back to the cached number
+  # instead of eating the driver budget.
+  headline = _run_secondary('sampling', deadline)
+  if headline is None:
     headline = json.dumps({"metric": "bench_sampling_error",
-                           "error": f"{type(e).__name__}: {e}"[:200]})
+                           "error": "no live or cached headline available"})
     print(headline, flush=True)
-    _cache_emit('sampling')  # last on-chip headline, labeled cached
   for name in _stale_first_order():
     _run_secondary(name, deadline)
     print(headline, flush=True)
