@@ -221,6 +221,16 @@ def get_sampling_fn(config, sde, model, shape, inverse_scaler, eps,
   elif sampler_name.lower() == 'pc':
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())
+    pc_chunks = int(config.sampling.get('pc_chunks', 0))
+    if pc_chunks > 1:
+      return get_pc_chunked_sampler(
+          sde=sde, model=model, shape=shape, predictor=predictor,
+          corrector=corrector, inverse_scaler=inverse_scaler,
+          snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
+          probability_flow=config.sampling.probability_flow,
+          continuous=config.training.continuous,
+          denoise=config.sampling.noise_removal, eps=eps,
+          sharding=sharding, num_chunks=pc_chunks)
     return get_pc_sampler(sde=sde, model=model, shape=shape,
                           predictor=predictor, corrector=corrector,
                           inverse_scaler=inverse_scaler,
@@ -284,6 +294,82 @@ def get_pc_sampler(sde, model, shape, predictor, corrector, inverse_scaler,
     return core(rng, score_fn)
 
   return pc_sampler
+
+
+def get_pc_chunked_sampler(sde, model, shape, predictor, corrector,
+                           inverse_scaler, snr, n_steps: int = 1,
+                           probability_flow: bool = False,
+                           continuous: bool = False, denoise: bool = True,
+                           eps: float = 1e-3, sharding=None,
+                           num_chunks: int = 10) -> Callable:
+  """PC sampler split into ``num_chunks`` sequential device dispatches.
+
+  Bit-identical to :func:`get_pc_sampler` (same rng split, same timestep
+  grid, same step order — the (N,) scan arrays are merely reshaped to
+  (num_chunks, N//num_chunks) and scanned chunk-by-chunk, with the carry
+  staying device-resident between dispatches).  Use when a single
+  N·(n_steps+1)-NFE dispatch is too long for the execution environment:
+  long-running single XLA programs cannot be preempted, health-checked, or
+  checkpointed mid-flight, and serving runtimes (and this project's TPU
+  tunnel) can drop a worker that holds the device for minutes in one call.
+  ``sde.N`` must be divisible by ``num_chunks``.
+
+  Config knob: ``sampling.pc_chunks`` (default 0 = the single-dispatch
+  scan; the reference's semantics either way, reference sampling.py:403-407
+  runs N host dispatches, i.e. the num_chunks=N extreme).
+  """
+  if sde.N % num_chunks:
+    raise ValueError(f"num_chunks={num_chunks} must divide sde.N={sde.N}")
+
+  @jax.jit
+  def chunk_fn(carry, ts_chunk, rngs_chunk, params):
+    score_fn = mutils.get_score_fn(sde, model, params, train=False,
+                                   continuous=continuous)
+
+    def step(c, inp):
+      x, _ = c
+      t, step_rng = inp
+      vec_t = jnp.full((shape[0],), t)
+      c_rng, p_rng = jax.random.split(step_rng)
+      x, x_mean = corrector(c_rng, x, vec_t, sde, score_fn, snr, n_steps)
+      x, x_mean = predictor(p_rng, x, vec_t, sde, score_fn, probability_flow)
+      return (x, x_mean), None
+
+    carry, _ = jax.lax.scan(step, carry, (ts_chunk, rngs_chunk))
+    return carry
+
+  def pc_sampler(rng, params):
+    rng, prior_rng = jax.random.split(rng)
+    x0 = _constrain(sde.prior_sampling(prior_rng, shape), sharding)
+    timesteps = jnp.linspace(sde.T, eps, sde.N).reshape(num_chunks, -1)
+    step_rngs = jax.random.split(rng, sde.N)  # typed keys OR raw (N, 2)
+    step_rngs = step_rngs.reshape(num_chunks, sde.N // num_chunks,
+                                  *step_rngs.shape[1:])
+    carry = (x0, x0)
+    for i in range(num_chunks):
+      carry = chunk_fn(carry, timesteps[i], step_rngs[i], params)
+    x, x_mean = carry
+    return inverse_scaler(x_mean if denoise else x), sde.N * (n_steps + 1)
+
+  # The host loop IS the point: an outer jax.jit would inline all
+  # num_chunks chunk calls back into one giant program.  Callers use
+  # maybe_jit_sampler (below) instead of jax.jit directly.
+  pc_sampler.already_dispatched = True
+  return pc_sampler
+
+
+def maybe_jit_sampler(fn: Callable) -> Callable:
+  """jit a sampling fn unless it manages its own device dispatch.
+
+  The chunked PC sampler (``sampling.pc_chunks``) jits per-chunk and loops
+  on the host to bound single-dispatch length; wrapping it in an outer
+  ``jax.jit`` would trace the loop into one monolithic program and silently
+  undo the chunking.  All ``get_sampling_fn`` call sites jit through this
+  helper.
+  """
+  if getattr(fn, 'already_dispatched', False):
+    return fn
+  return jax.jit(fn)
 
 
 def _dpm_schedule(sde, steps: int, skip_type: str, eps: float):

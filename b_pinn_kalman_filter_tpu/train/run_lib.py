@@ -92,7 +92,7 @@ def train(config, workdir: str):
     sampling_shape = (config.training.batch_size // 4,
                       config.data.image_size, config.data.image_size,
                       config.data.num_channels)
-    sampling_fn = jax.jit(sampling.get_sampling_fn(
+    sampling_fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
         config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
         sharding=mesh_lib.data_sharding(mesh)))
 
@@ -238,7 +238,7 @@ def sample(config, ckptdir: str, workdir: str):
   sampling_shape = (config.training.batch_size,
                     config.data.image_size, config.data.image_size,
                     config.data.num_channels)
-  sampling_fn = jax.jit(sampling.get_sampling_fn(
+  sampling_fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
       config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
       sharding=mesh_lib.data_sharding(mesh)))
   rng, sample_rng = jax.random.split(rng)
@@ -324,7 +324,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
     sampling_shape = (config.eval.batch_size,
                       config.data.image_size, config.data.image_size,
                       config.data.num_channels)
-    sampling_fn = jax.jit(sampling.get_sampling_fn(
+    sampling_fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
         config, sde, model, sampling_shape, inverse_scaler, sampling_eps,
         sharding=mesh_lib.data_sharding(mesh)))
 

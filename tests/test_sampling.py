@@ -100,3 +100,49 @@ def test_ode_rk4_fixed_grid():
   y, nfe = ode_lib.odeint_rk4(lambda t, y: y, y0, 0.0, 1.0, 100)
   np.testing.assert_allclose(y, np.e, rtol=1e-6)
   assert nfe == 400
+
+
+def test_pc_chunked_sampler_matches_single_scan():
+  """get_pc_chunked_sampler is the SAME program as get_pc_sampler, split
+  into bounded device dispatches (sampling.pc_chunks): same rng splits,
+  same timestep grid, same step order — outputs must match bit-for-bit."""
+  from b_pinn_kalman_filter_tpu.models import registry as mutils
+  from tests.tiny_configs import tiny_ddpm_config
+
+  config = tiny_ddpm_config()
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  sde = sde_lib.VPSDE(N=20)
+  shape = (2, config.data.image_size, config.data.image_size,
+           config.data.num_channels)
+  kwargs = dict(
+      sde=sde, model=model, shape=shape,
+      predictor=sampling.get_predictor('reverse_diffusion'),
+      corrector=sampling.get_corrector('langevin'),
+      inverse_scaler=lambda x: x, snr=0.16, n_steps=1,
+      probability_flow=False, continuous=True, denoise=True, eps=1e-3)
+  single = jax.jit(sampling.get_pc_sampler(**kwargs))
+  chunked = sampling.get_pc_chunked_sampler(**kwargs, num_chunks=4)
+  rng = jax.random.PRNGKey(7)
+  ref, nfe_ref = single(rng, variables['params'])
+  out, nfe = chunked(rng, variables['params'])
+  assert int(nfe) == int(nfe_ref) == 40
+  np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+  with pytest.raises(ValueError):
+    sampling.get_pc_chunked_sampler(**kwargs, num_chunks=3)
+
+
+def test_pc_chunks_config_dispatch():
+  """sampling.pc_chunks > 1 routes get_sampling_fn to the chunked sampler."""
+  from b_pinn_kalman_filter_tpu.models import registry as mutils
+  from tests.tiny_configs import tiny_mlp_config
+
+  config = tiny_mlp_config()
+  config.sampling.pc_chunks = 5
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  sde, eps = sde_lib.get_sde(config)
+  shape = (2, config.data.image_size, config.data.image_size,
+           config.data.num_channels)
+  fn = sampling.get_sampling_fn(config, sde, model, shape, lambda x: x, eps)
+  samples, nfe = fn(jax.random.PRNGKey(3), variables['params'])
+  assert samples.shape == shape
+  assert np.isfinite(np.asarray(samples)).all()
