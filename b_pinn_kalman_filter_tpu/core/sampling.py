@@ -372,7 +372,7 @@ def maybe_jit_sampler(fn: Callable) -> Callable:
   return jax.jit(fn)
 
 
-def _dpm_schedule(sde, steps: int, skip_type: str, eps: float):
+def dpm_schedule(sde, steps: int, skip_type: str, eps: float):
   """Time grid + (alpha, sigma, lambda) tables for DPM-Solver.
 
   ``lambda(t) = log(alpha_t / sigma_t)`` is the half-log-SNR; it is strictly
@@ -399,6 +399,57 @@ def _dpm_schedule(sde, steps: int, skip_type: str, eps: float):
   return ts, alphas, sigmas, lams
 
 
+def dpm_multistep_solve(sde, x, x0_pred_fn, steps: int = 20, order: int = 2,
+                        skip_type: str = 'logsnr', eps: float = 1e-3,
+                        denoise: bool = True):
+  """Core DPM-Solver++(2M) multistep update over a caller-supplied
+  data-prediction function ``x0_pred_fn(x, t_scalar) -> x0``.
+
+  Update rule (x0-prediction, 2M): with h_i = lam_i - lam_{i-1} > 0,
+  r_i = h_{i-1}/h_i, and x0_i the prediction at t_{i-1},
+    D_i = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}        (first step: x0_1)
+    x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i.
+  ``order=1`` drops the multistep correction (= DDIM).  Works for VP, subVP
+  (whose kernel std really is 1 - alpha^2, core/sde.py:204-208) and VE
+  (alpha = 1, lambda = -log sigma) alike via ``marginal_coef``.
+
+  The data prediction need not be the plain Tweedie estimate: the guided
+  DPS sampler (inverse/conditional_sampling.py) folds the posterior
+  guidance into an *effective* x0 so the solved ODE is the conditional
+  probability-flow ODE.  Returns ``(x, nfe)`` where nfe counts
+  ``x0_pred_fn`` evaluations.
+  """
+  if order not in (1, 2):
+    raise ValueError(f"dpm_order must be 1 or 2, got {order}")
+  if steps < 1:
+    raise ValueError(f"dpm_steps must be >= 1, got {steps}")
+  ts, alphas, sigmas, lams = dpm_schedule(sde, steps, skip_type, eps)
+  h = lams[1:] - lams[:-1]                       # (M,), positive
+  if order == 2 and steps > 1:
+    # c2_i = 1/(2 r_i) = h_i / (2 h_{i-1}) for i >= 2; first step is order-1.
+    c2 = jnp.concatenate([jnp.zeros(1), h[1:] / (2.0 * h[:-1])])
+  else:
+    c2 = jnp.zeros(steps)
+  sig_ratio = sigmas[1:] / sigmas[:-1]
+  phi = jnp.expm1(-h)
+
+  def step(carry, inp):
+    x, prev_x0 = carry
+    t_prev, ratio, a_next, ph, c = inp
+    x0 = x0_pred_fn(x, t_prev)
+    d = (1.0 + c) * x0 - c * prev_x0
+    x = ratio * x - a_next * ph * d
+    return (x, x0), None
+
+  inputs = (ts[:-1], sig_ratio, alphas[1:], phi, c2)
+  (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), inputs)
+  nfe = steps
+  if denoise:
+    x = x0_pred_fn(x, ts[-1])
+    nfe += 1
+  return x, nfe
+
+
 def get_dpm_solver_sampler_from_score(sde, shape, inverse_scaler,
                                       steps: int = 20, order: int = 2,
                                       skip_type: str = 'logsnr',
@@ -411,30 +462,17 @@ def get_dpm_solver_sampler_from_score(sde, shape, inverse_scaler,
   already runs it at ~87% conv MFU (BASELINE.md), so the only remaining
   speed axis is NFE reduction.  This is a training-free high-order ODE
   solver in lambda (half-log-SNR) space — ``steps`` model evals total, one
-  per step, as a single ``lax.scan`` XLA program.  The exact-semantics PC
+  per step, as a single ``lax.scan`` XLA program (see
+  :func:`dpm_multistep_solve` for the update rule).  The exact-semantics PC
   sampler stays the default; select with ``sampling.method='dpm_solver'``.
-
-  Update rule (x0-prediction, 2M): with h_i = lam_i - lam_{i-1} > 0,
-  r_i = h_{i-1}/h_i, and x0_i the Tweedie prediction at t_{i-1},
-    D_i = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}        (first step: x0_1)
-    x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i.
-  ``order=1`` drops the multistep correction (= DDIM).  Works for VP, subVP
-  (whose kernel std really is 1 - alpha^2, core/sde.py:204-208) and VE
-  (alpha = 1, lambda = -log sigma) alike via ``marginal_coef``.
   """
+  # Validate eagerly (factory time), not at the first trace.
   if order not in (1, 2):
     raise ValueError(f"dpm_order must be 1 or 2, got {order}")
   if steps < 1:
     raise ValueError(f"dpm_steps must be >= 1, got {steps}")
-  ts, alphas, sigmas, lams = _dpm_schedule(sde, steps, skip_type, eps)
-  h = lams[1:] - lams[:-1]                       # (M,), positive
-  if order == 2 and steps > 1:
-    # c2_i = 1/(2 r_i) = h_i / (2 h_{i-1}) for i >= 2; first step is order-1.
-    c2 = jnp.concatenate([jnp.zeros(1), h[1:] / (2.0 * h[:-1])])
-  else:
-    c2 = jnp.zeros(steps)
-  sig_ratio = sigmas[1:] / sigmas[:-1]
-  phi = jnp.expm1(-h)
+  if skip_type not in ('logsnr', 'time'):
+    raise ValueError(f"Unknown dpm skip_type: {skip_type}")
 
   def sampler(rng, score_fn, z=None):
     rng, prior_rng, den_rng = jax.random.split(rng, 3)
@@ -448,20 +486,8 @@ def get_dpm_solver_sampler_from_score(sde, shape, inverse_scaler,
       score = score_fn(x, vec_t)
       return batch_mul(1.0 / a, x + batch_mul(s ** 2, score))
 
-    def step(carry, inp):
-      x, prev_x0 = carry
-      t_prev, ratio, a_next, ph, c = inp
-      x0 = x0_pred(x, t_prev)
-      d = (1.0 + c) * x0 - c * prev_x0
-      x = ratio * x - a_next * ph * d
-      return (x, x0), None
-
-    inputs = (ts[:-1], sig_ratio, alphas[1:], phi, c2)
-    (x, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), inputs)
-    nfe = steps
-    if denoise:
-      x = x0_pred(x, ts[-1])
-      nfe += 1
+    x, nfe = dpm_multistep_solve(sde, x, x0_pred, steps=steps, order=order,
+                                 skip_type=skip_type, eps=eps, denoise=denoise)
     return inverse_scaler(x), nfe
 
   return sampler

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from b_pinn_kalman_filter_tpu.core import ode as ode_lib
+from b_pinn_kalman_filter_tpu.core import sampling as sampling_lib
 from b_pinn_kalman_filter_tpu.core.sde import batch_mul
 from b_pinn_kalman_filter_tpu.inverse.obsv_sde import OBSVSDE
 from b_pinn_kalman_filter_tpu.inverse.operators import InpaintOperator
@@ -120,14 +121,27 @@ def get_controlled_sampler(config, obsv_sde: OBSVSDE, shape, lambda_schedule,
 
 def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3,
                     sharding=None):
-  """Diffusion posterior sampling (reference conditional_sampling.py:100-169)."""
+  """Diffusion posterior sampling (reference conditional_sampling.py:100-169).
+
+  Solvers: the reference's 'RK45'/'RK23' (on-device Dormand-Prince) and
+  'fixed' (5000-step Euler scan), plus the beyond-parity **'dpm'** fast
+  path — DPM-Solver++(2M) on the *conditional* probability-flow ODE.  The
+  DPS field is stiff near t=T (the Tweedie x0_hat divides by the tiny
+  marginal mean), so the adaptive RK45 posterior solve costs thousands of
+  RHS evals; the multistep solver in half-log-SNR space integrates the
+  identical ODE field in ``inverse.dpm_steps`` (default 50) guided model
+  evals.  Knobs (TPU-config extensions, `.get()` defaults so the reference
+  configs stay 1:1): ``inverse.dpm_steps``, ``inverse.dpm_order``,
+  ``inverse.dpm_skip``.
+  """
   obsv_var = config.inverse.variance
+  sde = obsv_sde.state_sde
 
   def dps_sampler(rng, model, params, z=None):
-    score_fn = mutils.get_score_fn(obsv_sde.state_sde, model, params,
+    score_fn = mutils.get_score_fn(sde, model, params,
                                    train=False, continuous=True)
     rng, prior_rng, obs_rng = jax.random.split(rng, 3)
-    x = obsv_sde.state_sde.prior_sampling(prior_rng, shape) if z is None else z
+    x = sde.prior_sampling(prior_rng, shape) if z is None else z
     x = _constrain(x, sharding)
     obs_noise = (jax.random.normal(obs_rng, jnp.shape(obsv_sde.y0))
                  * obsv_var ** 0.5)
@@ -138,18 +152,17 @@ def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3,
     observation = obsv_sde.y0 + obs_noise
 
     def x0_hat_fn(xt, t):
-      """Tweedie estimate of x0 (reference :116-124)."""
+      """Tweedie estimate of x0 (reference :116-124).  NOTE the reference
+      formula is x/mean + std^2*score (the std^2 term is NOT divided by
+      mean) — a documented quirk preserved for the *guidance* term."""
       score = score_fn(xt, t)
-      mean, std = obsv_sde.state_sde.marginal_coef(t)
+      mean, std = sde.marginal_coef(t)
       x0_hat = batch_mul(1.0 / mean, xt) + batch_mul(std ** 2, score)
       return x0_hat, score
 
-    def drift_fn(score, score_cond, x, t):
-      drift, diffusion = obsv_sde.state_sde.sde(x, t)
-      return drift - batch_mul(diffusion ** 2, score + score_cond) * 0.5
-
-    def ode_func(t, x):
-      vec_t = jnp.full((shape[0],), t)
+    def guidance_fn(x, vec_t):
+      """score_cond = grad log p(y | x_t) with the reference's norm scaling
+      (reference :126-136); also returns the unconditional score."""
 
       def logp_fn(xt):
         x0_hat, score = x0_hat_fn(xt, vec_t)
@@ -159,8 +172,43 @@ def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3,
 
       norm_grad, (score, norm) = jax.grad(logp_fn, has_aux=True)(x)
       score_cond = norm_grad / norm   # scale=True (reference :133-134)
+      return score, score_cond
+
+    def drift_fn(score, score_cond, x, t):
+      drift, diffusion = sde.sde(x, t)
+      return drift - batch_mul(diffusion ** 2, score + score_cond) * 0.5
+
+    if config.inverse.solver.lower() == 'dpm':
+      # Guided DPM-Solver++(2M): the conditional reverse ODE
+      #   dx/dt = f x - 1/2 g^2 (score + score_cond)
+      # is the unconditional probability-flow ODE with total score
+      # s_tot = s + s_cond, i.e. with effective data prediction
+      #   x0_eff = (x + std^2 s_tot)/mean = x0_true + (std^2/mean) s_cond
+      # (x0_true is the exact Tweedie inversion the unconditional DPM
+      # sampler uses, core/sampling.py).  Plugging x0_eff into the 2M
+      # update integrates *exactly the same ODE field* as the RK45/'fixed'
+      # paths above — only the integrator changes.  The guidance itself
+      # keeps the reference's x0_hat quirk + norm scaling via guidance_fn.
+      def x0_eff_fn(xt, t):
+        vec_t = jnp.full((shape[0],), t)
+        score, score_cond = guidance_fn(xt, vec_t)
+        mean, std = sde.marginal_coef(vec_t)
+        x0_true = batch_mul(1.0 / mean, xt + batch_mul(std ** 2, score))
+        return x0_true + batch_mul(std ** 2 / mean, score_cond)
+
+      x, _nfe = sampling_lib.dpm_multistep_solve(
+          sde, x, x0_eff_fn,
+          steps=int(config.inverse.get('dpm_steps', 50)),
+          order=int(config.inverse.get('dpm_order', 2)),
+          skip_type=config.inverse.get('dpm_skip', 'logsnr'),
+          eps=eps, denoise=True)
+      return x
+
+    def ode_func(t, x):
+      vec_t = jnp.full((shape[0],), t)
+      score, score_cond = guidance_fn(x, vec_t)
       return drift_fn(score, score_cond, x, vec_t)
 
-    return _solve(config, ode_func, x, obsv_sde.state_sde.T, eps)
+    return _solve(config, ode_func, x, sde.T, eps)
 
   return dps_sampler

@@ -67,6 +67,7 @@ _SECONDARY_METRICS = {
     'train': ['train_imgs_per_sec_cifar10_ddpmpp_batch128_bf16'],
     'pinn': ['pinn_phase2_residual_points_per_sec_pde'],
     'dpm': ['dpm_solver_sampling_imgs_per_sec_per_chip_nfe20'],
+    'dps_fast': ['dps_fast_posterior_imgs_per_sec_per_chip_dpm50'],
     # Headline (imgs/sec/chip) deliberately LAST: the driver tail-parses the
     # final JSON line, so cached emission must end on the headline metric.
     'sampling': ['pc_sampling_fraction_of_speed_of_light',
@@ -313,6 +314,67 @@ def bench_dpm():
         A100_SAMPLING_IMGS_PER_SEC)
 
 
+def bench_dps_fast():
+  """Beyond-parity fast posterior sampling: DPS guidance x DPM-Solver++(2M).
+
+  Same task as the measured exact-semantics DPS inpainting row (flagship
+  57.6M DDPM++ CIFAR-10, batch 16, 50% inpainting, grad-through-score
+  guidance) but integrating the *same conditional probability-flow ODE*
+  with the 50-step multistep solver (inverse.solver='dpm') instead of
+  adaptive RK45 (~15k RHS evals; 213 s/solve on this chip).  Accuracy
+  evidence: tests/test_inverse.py::test_dps_dpm_matches_rk45_trajectory —
+  against a converged tol=1e-5 reference the 50-step path is ~3x closer
+  than the RK45@1e-3 production path itself.
+
+  Baseline: the reference's A100 DPS estimate ~0.03 imgs/sec (host
+  round-trip + torch autograd re-entry per RHS eval at thousands of evals
+  per solve; our on-device reference-semantics RK45 measures 0.075
+  imgs/sec/chip, chip_logs/dps.log).
+  """
+  import ml_collections
+  from b_pinn_kalman_filter_tpu import configs, models as mutils
+  from b_pinn_kalman_filter_tpu.inverse.conditional_sampling import get_sampler
+  from b_pinn_kalman_filter_tpu.inverse.obsv_sde import get_obsvsde
+  from b_pinn_kalman_filter_tpu.inverse.operators import get_operator
+
+  config = configs.get_config("vp/cifar10_ddpmpp_continuous")
+  config.inverse = ml_collections.ConfigDict(dict(
+      operator='inpaint', invert=False, ratio=0.5, sampler='dps',
+      variance=0.01, solver='dpm', dpm_steps=50))
+  B = 16
+  shape = (B, config.data.image_size, config.data.image_size,
+           config.data.num_channels)
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  operator = get_operator(config)
+
+  def make_fn(i):
+    # Fresh observation per solve (tunnel memoizes identical computations);
+    # the eager lax.scan treats the closed-over observation as a runtime
+    # input, so the compiled program is reused across solves (the measured
+    # chip_dps.py pattern).
+    host = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+    origin = host.random(shape).astype(np.float32) * 2 - 1
+    observation = operator(jnp.asarray(origin), keep_shape=False)
+    obsvsde, inv_eps = get_obsvsde(config, observation, operator)
+    return get_sampler(config, obsvsde, shape, eps=inv_eps)
+
+  out = np.asarray(make_fn(0)(_fresh_key(), model, variables['params']))
+  assert np.isfinite(out).all()
+
+  times = []
+  for i in range(1, 4):
+    fn = make_fn(i)
+    t0 = time.perf_counter()
+    out = np.asarray(fn(_fresh_key(), model, variables['params']))
+    times.append(time.perf_counter() - t0)
+  dt = min(times)
+  _emit("dps_fast_posterior_imgs_per_sec_per_chip_dpm50",
+        B / dt / jax.device_count(),
+        "imgs/sec/chip (guided DPM-Solver++ 50-step DPS; exact-semantics "
+        "RK45 path: 0.075 on this chip)",
+        0.03)
+
+
 # Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
 # server-side remote compiles, no persistent cache so every process pays).
 # Round-3 measurements: headline sampling stage 1067 s, train 1133 s,
@@ -321,14 +383,14 @@ def bench_dpm():
 # any plausible driver timeout) — it rides the cache, refreshed by
 # `bench.py --only pinn` runs during tunnel windows.
 _EXPECTED_SECONDARY_S = {'sampling': 1100, 'train': 1150, 'pinn': 1700,
-                         'dpm': 700}
+                         'dpm': 700, 'dps_fast': 900}
 
 # Single stage registry: --only dispatch, the secondary run order, and the
 # cache-fallback metric map all derive from here (a stage added in one
 # place cannot be silently missing from another).
 _STAGES = {'sampling': bench_sampling, 'train': bench_train,
-           'pinn': bench_pinn, 'dpm': bench_dpm}
-_SECONDARY_ORDER = ('train', 'pinn', 'dpm')
+           'pinn': bench_pinn, 'dpm': bench_dpm, 'dps_fast': bench_dps_fast}
+_SECONDARY_ORDER = ('train', 'pinn', 'dpm', 'dps_fast')
 
 
 def _stale_first_order():

@@ -19,13 +19,9 @@ run() {
   echo "=== [$name] rc=$? end $(date +%H:%M:%S)" | tee -a chip_logs/queue_status.log
 }
 
-# Round-4 order: the two round-3 failures first (ukf: Pallas correlation
-# scoped-VMEM OOM under vmap, now XLA-fallback-guarded; dps: solver name
-# case mismatch, now normalized), then a pinn cache refresh — the PINN
-# metric can never run live inside the driver's bench budget (compile
-# ~28 min), so BENCH_CACHE.json is its only driver-visible path and it is
-# currently the stalest entry.  dpm + lfn passed round 3 (rc=0, logs kept).
-run ukf  5400 python scripts/chip_queue/chip_ukf.py
-run dps  3600 python scripts/chip_queue/chip_dps.py
-run pinn 3600 python bench.py --only pinn
+# Round-4 second queue: the guided fast posterior sampler (DPS x
+# DPM-Solver++, inverse.solver='dpm') — new this round; writes its metric
+# into BENCH_CACHE.json via the bench stage.  Earlier round-4 items (ukf,
+# dps RK45, pinn refresh) all completed rc=0 (chip_logs/, BASELINE.md).
+run dps_fast 3600 python bench.py --only dps_fast
 echo "=== queue done $(date +%H:%M:%S)" | tee -a chip_logs/queue_status.log
