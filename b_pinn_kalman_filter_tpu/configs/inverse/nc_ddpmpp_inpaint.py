@@ -2,6 +2,7 @@
 
 import ml_collections
 
+from b_pinn_kalman_filter_tpu.configs.tpu_defaults import add_inverse_extensions
 from b_pinn_kalman_filter_tpu.configs.vp import nc_ddpmpp
 
 
@@ -16,4 +17,5 @@ def get_config():
   inverse.sampler = 'controlled'
   inverse.variance = 0.1
   inverse.solver = 'fixed'  # 'RK45', 'RK23', 'fixed'
+  add_inverse_extensions(inverse)
   return config

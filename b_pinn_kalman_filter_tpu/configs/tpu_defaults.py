@@ -44,4 +44,26 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
   # preserved exactly at any value.
   tpu.steps_per_dispatch = 1
   config.device = 'tpu'
+  # Sampling-block extensions (defaults match the `.get()` fallbacks in
+  # core/sampling.py).  Declared here so `--config.sampling.dpm_steps=...`
+  # works through main.py's lock_config=True CLI (a key absent from the
+  # tree cannot be set on a locked config).
+  if 'sampling' in config:
+    config.sampling.dpm_steps = 20      # DPM-Solver++ fast sampler NFE
+    config.sampling.dpm_order = 2       # 1 = DDIM, 2 = multistep 2M
+    config.sampling.dpm_skip = 'logsnr' # or 'time' (= PC grid spacing)
+    config.sampling.pc_chunks = 0       # 0 = single-dispatch PC scan
   return config
+
+
+def add_inverse_extensions(inverse: ml_collections.ConfigDict
+                           ) -> ml_collections.ConfigDict:
+  """Solver extensions for `config.inverse` blocks that run conditional
+  sampling (defaults match the `.get()` fallbacks in
+  inverse/conditional_sampling.py); declared so the knobs are settable
+  through the locked CLI config."""
+  inverse.fixed_steps = 5000            # 'fixed' Euler steps (reference)
+  inverse.dpm_steps = 50                # guided DPM-Solver++ fast DPS NFE
+  inverse.dpm_order = 2
+  inverse.dpm_skip = 'logsnr'
+  return inverse

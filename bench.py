@@ -346,26 +346,33 @@ def bench_dps_fast():
            config.data.num_channels)
   model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
   operator = get_operator(config)
+  _, inv_eps = get_obsvsde(config, jnp.zeros((B, shape[-1],
+                                              shape[1] * shape[2])), operator)
 
-  def make_fn(i):
-    # Fresh observation per solve (tunnel memoizes identical computations);
-    # the eager lax.scan treats the closed-over observation as a runtime
-    # input, so the compiled program is reused across solves (the measured
-    # chip_dps.py pattern).
+  # The observation is a jit ARGUMENT (not a closure constant): one trace +
+  # one compile serve every solve.  The first chip measurement of this
+  # stage dispatched eagerly and paid a full re-trace of the 57.6M-model
+  # scan per solve on the 1-core host — 60 s/solve of pure client CPU for
+  # a sub-second device program (chip_logs/dps_fast.log round-4 run 1).
+  @jax.jit
+  def solve(rng, params, observation):
+    obsvsde, _ = get_obsvsde(config, observation, operator)
+    fn = get_sampler(config, obsvsde, shape, eps=inv_eps)
+    return fn(rng, model, params)
+
+  def fresh_obs(i):
     host = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
     origin = host.random(shape).astype(np.float32) * 2 - 1
-    observation = operator(jnp.asarray(origin), keep_shape=False)
-    obsvsde, inv_eps = get_obsvsde(config, observation, operator)
-    return get_sampler(config, obsvsde, shape, eps=inv_eps)
+    return operator(jnp.asarray(origin), keep_shape=False)
 
-  out = np.asarray(make_fn(0)(_fresh_key(), model, variables['params']))
+  out = np.asarray(solve(_fresh_key(), variables['params'], fresh_obs(0)))
   assert np.isfinite(out).all()
 
   times = []
   for i in range(1, 4):
-    fn = make_fn(i)
+    obs = jax.block_until_ready(fresh_obs(i))
     t0 = time.perf_counter()
-    out = np.asarray(fn(_fresh_key(), model, variables['params']))
+    out = np.asarray(solve(_fresh_key(), variables['params'], obs))
     times.append(time.perf_counter() - t0)
   dt = min(times)
   _emit("dps_fast_posterior_imgs_per_sec_per_chip_dpm50",

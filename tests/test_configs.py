@@ -71,3 +71,28 @@ def test_expected_config_inventory():
   assert not missing, missing
   # Reference ships 46 leaf configs; every one must have a counterpart.
   assert len(names) >= 46, len(names)
+
+
+def test_extension_knobs_are_cli_settable():
+  """TPU-extension sampler knobs must EXIST in the config tree (main.py
+  locks the config, so a `.get()`-only knob cannot be set from the CLI):
+  sampling.dpm_* / pc_chunks on every family, inverse solver extensions on
+  the conditional-sampling configs.  Defaults must match the code-side
+  `.get()` fallbacks."""
+  from b_pinn_kalman_filter_tpu import configs
+
+  for name in ('vp/cifar10_ddpmpp_continuous', 'vp/nc_ddpmpp',
+               've/cifar10_ncsnpp_continuous'):
+    c = configs.get_config(name)
+    assert c.sampling.dpm_steps == 20, name
+    assert c.sampling.dpm_order == 2, name
+    assert c.sampling.dpm_skip == 'logsnr', name
+    assert c.sampling.pc_chunks == 0, name
+
+  for name in ('inverse/nc_ddpmpp_inpaint', 'inverse/nc_ddpmpp_inpaint_dps',
+               'inverse/nc_ddpmpp_rndinpaint_dps'):
+    c = configs.get_config(name)
+    assert c.inverse.fixed_steps == 5000, name
+    assert c.inverse.dpm_steps == 50, name
+    assert c.inverse.dpm_order == 2, name
+    assert c.inverse.dpm_skip == 'logsnr', name
