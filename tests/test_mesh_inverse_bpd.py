@@ -50,6 +50,20 @@ def test_inverse_lib_inverse_on_mesh(tmp_path):
   assert (out / 'inverse.png').exists() and (out / 'mse.txt').exists()
 
 
+def test_inverse_lib_inverse_dpm_solver_on_mesh(tmp_path):
+  """The guided fast path (inverse.solver='dpm') through the same CLI
+  driver on the 8-device mesh: sharded, finite, artifacts written."""
+  config = _tiny_inverse_config()
+  config.inverse.solver = 'dpm'
+  config.inverse.dpm_steps = 10
+  origin, observation, sample, mse = inverse_lib.inverse(
+      config, ckptdir='', workdir=str(tmp_path))
+  assert len(sample.sharding.device_set) == 8, \
+      "fast-DPS posterior sample must stay sharded over the mesh"
+  assert np.isfinite(np.asarray(sample)).all()
+  assert np.isfinite(mse)
+
+
 def test_likelihood_sharded_on_mesh():
   """The Dopri+Hutchinson bpd program with run_lib.evaluate's explicit
   sharding constraint: output stays sharded over 8 devices."""
