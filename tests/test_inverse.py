@@ -290,6 +290,81 @@ def test_controlled_sampler_runs(monkeypatch):
   assert np.isfinite(np.asarray(samples)).all()
 
 
+def test_controlled_dpm_matches_rk45_error_profile(monkeypatch):
+  """The controlled sampler's 'dpm' fast path must reproduce the RK45
+  path's error profile on independent draws (~50 model evals instead of
+  the adaptive solver's RHS-eval count).
+
+  NOTE (reference quirk, preserved): the controlled sampler's
+  observed-region error is LARGE by reference design — the returned state
+  is the raw ODE state; the projection only steers the drift's
+  *evaluation point* and is never applied to the returned sample
+  (reference conditional_sampling.py:76-96 returns the solver state, not
+  optimize_fn(x)).  Measured here (analytic score, 50%% checkerboard,
+  2026-08-19): obs |err| ~0.69 for BOTH RK45 and dpm vs the 0.34 an
+  unconditional draw would give.  What the fast path must match is the
+  RK45 path's behavior, not absolute recovery."""
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+  monkeypatch.setattr(registry, 'get_score_fn',
+                      lambda *a, **k: _analytic_score(sde))
+
+  mask = _checkerboard(6, 6)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  origin = MU0 + S0 * jax.random.normal(jax.random.PRNGKey(0), (8, 6, 6, 1))
+  obsv = LOBSVSDE(sde, op(origin, keep_shape=False), op)
+  m = np.asarray(mask)[None]
+  B = origin.shape[0]
+
+  errs = {}
+  for solver in ('RK45', 'dpm'):
+    config = _make_config(solver=solver, sampler='controlled')
+    config.inverse.dpm_steps = 50
+    sampler = conditional_sampling.get_controlled_sampler(
+        config, obsv, origin.shape, lambda t: (1.0 - t) * 0.8, eps=1e-3)
+    out = np.asarray(
+        jax.jit(lambda r: sampler(r, None, None))(jax.random.PRNGKey(1)))
+    assert np.isfinite(out).all()
+    err = np.abs(out - origin)
+    errs[solver] = ((err * m).sum() / (m.sum() * B),
+                    (err * (1 - m)).sum() / ((1 - m).sum() * B))
+  # Same key => same prior draw + per-t re-noising: profiles must agree.
+  assert abs(errs['dpm'][0] - errs['RK45'][0]) < 0.05, errs
+  assert abs(errs['dpm'][1] - errs['RK45'][1]) < 0.05, errs
+
+
+def test_controlled_dpm_matches_rk45_trajectory(monkeypatch):
+  """'dpm' integrates the SAME controlled probability-flow ODE as 'RK45'
+  (the projection is folded into an effective data prediction via the
+  exact drift-difference rewrite, not a new approximation): from an
+  identical prior draw the two posterior samples must agree closely.
+  Both paths derive the per-t re-noising key the same way (fold_in of
+  t*1e6), so the integrated field is the same function of t; the residual
+  difference is integration error plus the different noise-refresh node
+  sets."""
+  from b_pinn_kalman_filter_tpu.models import registry
+  sde = sde_lib.VPSDE(N=100)
+  monkeypatch.setattr(registry, 'get_score_fn',
+                      lambda *a, **k: _analytic_score(sde))
+
+  mask = _checkerboard(6, 6)
+  op = InpaintOperator(mask_source=_FixedMaskSource(mask))
+  origin = MU0 + S0 * jax.random.normal(jax.random.PRNGKey(0), (4, 6, 6, 1))
+  obsv = LOBSVSDE(sde, op(origin, keep_shape=False), op)
+  z = sde.prior_sampling(jax.random.PRNGKey(7), origin.shape)
+
+  outs = {}
+  for solver in ('RK45', 'dpm'):
+    config = _make_config(solver=solver, sampler='controlled')
+    config.inverse.dpm_steps = 80
+    sampler = conditional_sampling.get_controlled_sampler(
+        config, obsv, origin.shape, lambda t: (1.0 - t) * 0.8, eps=1e-3)
+    outs[solver] = np.asarray(sampler(jax.random.PRNGKey(3), None, None, z=z))
+  diff = np.abs(outs['RK45'] - outs['dpm'])
+  assert diff.mean() < 0.06, diff.mean()
+  assert diff.max() < 0.3, diff.max()
+
+
 def test_pc_inpainter_preserves_known_region(monkeypatch):
   from b_pinn_kalman_filter_tpu.models import registry
   sde = sde_lib.VPSDE(N=100)
