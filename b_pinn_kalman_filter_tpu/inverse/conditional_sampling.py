@@ -38,16 +38,23 @@ def _solve(config, ode_func, x0, t1, eps):
     result = ode_lib.odeint_dopri(ode_func, x0, t1, eps, rtol=1e-3, atol=1e-3,
                                   max_steps=100_000)
     return result.y
-  elif solver == 'fixed':
-    # Reference: 5000 steps of x += f(t, x) * dt with dt = -2e-5
-    # over t in linspace(t1, eps, 5000).  `inverse.fixed_steps` is a
-    # TPU-config extension (default = the reference's 5000) so cheap dry
-    # runs can validate the same scanned program with fewer iterations.
+  elif solver.lower() == 'fixed':
+    # Reference: 5000 steps of x += f(t, x) * dt with dt = -2e-5 over t in
+    # linspace(t1, eps, 5000) (conditional_sampling.py:22-27) — a quirk:
+    # dt is NOT the grid spacing, so the total drift integrated is
+    # 5000 * 2e-5 = 0.1 time-units regardless of the t-span.  Preserved
+    # bit-exactly at the default.  `inverse.fixed_steps` is a TPU-config
+    # extension (cheap dry runs / resolution sweeps): dt scales inversely
+    # so a non-default step count changes RESOLUTION, not the amount of
+    # drift integrated (500 steps of dt=-2e-4 still sums to the
+    # reference's 0.1 — without this, fewer steps silently integrated a
+    # truncated ODE).
     n_steps = int(config.inverse.get('fixed_steps', 5000))
     ts = jnp.linspace(t1, eps, n_steps)
+    dt = -2e-5 * (5000.0 / n_steps)
 
     def step(x, t):
-      return x + ode_func(t, x) * (-2e-5), None
+      return x + ode_func(t, x) * dt, None
 
     x, _ = jax.lax.scan(step, x0, ts)
     return x
@@ -135,7 +142,13 @@ def get_controlled_sampler(config, obsv_sde: OBSVSDE, shape, lambda_schedule,
       # the identical ODE field the RK45/'fixed' paths integrate — only
       # the integrator changes (and fresh y_t re-noising happens once per
       # solver node instead of once per adaptive RHS eval, same
-      # deterministic per-t key derivation).
+      # deterministic per-t key derivation).  Deliberate end-point
+      # divergence: denoise=True returns the final Tweedie prediction
+      # x0_eff(eps) — one extra guided eval, dpm_steps+1 total — whereas
+      # the RK45/'fixed' paths return the raw state at eps (the
+      # reference's documented quirk).  At eps=1e-3 the difference is
+      # within the trajectory test's tolerance; the exact-semantics
+      # RK45 path is the parity reference.
       state_sde = obsv_sde.state_sde
 
       def x0_eff_fn(xt, t):
@@ -240,6 +253,9 @@ def get_dps_sampler(config, obsv_sde: OBSVSDE, shape, eps: float = 1e-3,
       # update integrates *exactly the same ODE field* as the RK45/'fixed'
       # paths above — only the integrator changes.  The guidance itself
       # keeps the reference's x0_hat quirk + norm scaling via guidance_fn.
+      # End-point divergence (deliberate, as in the controlled branch):
+      # denoise=True returns x0_eff(eps) — dpm_steps+1 guided evals —
+      # while RK45/'fixed' return the raw state at eps.
       def x0_eff_fn(xt, t):
         vec_t = jnp.full((shape[0],), t)
         score, score_cond = guidance_fn(xt, vec_t)

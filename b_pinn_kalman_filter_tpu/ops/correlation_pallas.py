@@ -77,14 +77,24 @@ def _under_batching(x) -> bool:
   the 40.19M blocks blow the 16M scoped-VMEM limit at server-side compile,
   where the ``except Exception`` fallback can no longer catch it
   (chip_logs/ukf.log, advisor round 3).
+
+  Conservative on failure: these are private jax modules (no public
+  Tracer alias exists) — if an upgrade moves them, report True so the
+  caller takes the always-correct XLA path instead of crashing.  Known
+  residual blind spot: ``vmap(jit(f))`` hides the batching trace from
+  the inner trace's Python, so that ordering can still reach the Pallas
+  path batched; the framework's own call sites vmap directly.
   """
-  from jax._src import core as _core              # no public Tracer alias
-  from jax._src.interpreters import batching as _batching
-  while isinstance(x, _core.Tracer):
-    if isinstance(x, _batching.BatchTracer):
-      return True
-    x = getattr(x, 'val', getattr(x, 'primal', None))
-  return False
+  try:
+    from jax._src import core as _core            # no public Tracer alias
+    from jax._src.interpreters import batching as _batching
+    while isinstance(x, _core.Tracer):
+      if isinstance(x, _batching.BatchTracer):
+        return True
+      x = getattr(x, 'val', getattr(x, 'primal', None))
+    return False
+  except Exception:
+    return True
 
 
 def correlation_auto(f1, f2, stride: int = 1):

@@ -68,6 +68,7 @@ _SECONDARY_METRICS = {
     'pinn': ['pinn_phase2_residual_points_per_sec_pde'],
     'dpm': ['dpm_solver_sampling_imgs_per_sec_per_chip_nfe20'],
     'dps_fast': ['dps_fast_posterior_imgs_per_sec_per_chip_dpm50'],
+    'controlled_fast': ['controlled_fast_inverse_imgs_per_sec_per_chip_dpm50'],
     # Headline (imgs/sec/chip) deliberately LAST: the driver tail-parses the
     # final JSON line, so cached emission must end on the headline metric.
     'sampling': ['pc_sampling_fraction_of_speed_of_light',
@@ -246,7 +247,7 @@ def bench_sampling():
 
   shape = (batch, config.data.image_size, config.data.image_size,
            config.data.num_channels)
-  sampling_fn = jax.jit(sampling.get_sampling_fn(
+  sampling_fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
       config, sde, model, shape, inverse_scaler, eps))
 
   samples, _nfe = sampling_fn(_fresh_key(), params)
@@ -382,6 +383,64 @@ def bench_dps_fast():
         0.03)
 
 
+def bench_controlled_fast():
+  """The reference's OTHER conditional sampler (controlled projection,
+  conditional_sampling.py:43-97) with the fast 'dpm' solver — identical
+  program shape to the dps_fast stage (flagship 57.6M DDPM++, batch 16,
+  50% inpainting) so the two guided fast paths compare directly; the
+  controlled RHS needs no grad-through-score, so this is the framework's
+  fastest guided sampler (chip 2026-08-20: 96.85 imgs/sec/chip,
+  chip_logs/controlled_fast.log).
+
+  Baseline 0.08 imgs/sec: an A100-torch estimate for the same task via the
+  reference's host-round-trip RK45 (our on-device reference-semantics DPS
+  RK45 measures 0.075; the controlled ODE is comparably stiff near t=T)."""
+  import ml_collections
+  from b_pinn_kalman_filter_tpu import configs, models as mutils
+  from b_pinn_kalman_filter_tpu.inverse.conditional_sampling import get_sampler
+  from b_pinn_kalman_filter_tpu.inverse.obsv_sde import get_obsvsde
+  from b_pinn_kalman_filter_tpu.inverse.operators import get_operator
+
+  config = configs.get_config("vp/cifar10_ddpmpp_continuous")
+  config.inverse = ml_collections.ConfigDict(dict(
+      operator='inpaint', invert=False, ratio=0.5, sampler='controlled',
+      variance=0.01, solver='dpm', dpm_steps=50))
+  B = 16
+  shape = (B, config.data.image_size, config.data.image_size,
+           config.data.num_channels)
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  operator = get_operator(config)
+  _, inv_eps = get_obsvsde(config, jnp.zeros((B, shape[-1],
+                                              shape[1] * shape[2])), operator)
+
+  @jax.jit
+  def solve(rng, params, observation):
+    obsvsde, _ = get_obsvsde(config, observation, operator)
+    fn = get_sampler(config, obsvsde, shape, eps=inv_eps)
+    return fn(rng, model, params)
+
+  def fresh_obs(i):
+    host = np.random.default_rng(int(time.time_ns()) % 2 ** 31 + i)
+    origin = host.random(shape).astype(np.float32) * 2 - 1
+    return operator(jnp.asarray(origin), keep_shape=False)
+
+  out = np.asarray(solve(_fresh_key(), variables['params'], fresh_obs(0)))
+  assert np.isfinite(out).all()
+
+  times = []
+  for i in range(1, 4):
+    obs = jax.block_until_ready(fresh_obs(i))
+    t0 = time.perf_counter()
+    out = np.asarray(solve(_fresh_key(), variables['params'], obs))
+    times.append(time.perf_counter() - t0)
+  dt = min(times)
+  _emit("controlled_fast_inverse_imgs_per_sec_per_chip_dpm50",
+        B / dt / jax.device_count(),
+        "imgs/sec/chip (controlled projection sampler x DPM-Solver++ 50 "
+        "steps; no grad-through-score)",
+        0.08)
+
+
 # Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
 # server-side remote compiles, no persistent cache so every process pays).
 # Round-3 measurements: headline sampling stage 1067 s, train 1133 s,
@@ -390,14 +449,15 @@ def bench_dps_fast():
 # any plausible driver timeout) — it rides the cache, refreshed by
 # `bench.py --only pinn` runs during tunnel windows.
 _EXPECTED_SECONDARY_S = {'sampling': 1100, 'train': 1150, 'pinn': 1700,
-                         'dpm': 700, 'dps_fast': 900}
+                         'dpm': 700, 'dps_fast': 900, 'controlled_fast': 700}
 
 # Single stage registry: --only dispatch, the secondary run order, and the
 # cache-fallback metric map all derive from here (a stage added in one
 # place cannot be silently missing from another).
 _STAGES = {'sampling': bench_sampling, 'train': bench_train,
-           'pinn': bench_pinn, 'dpm': bench_dpm, 'dps_fast': bench_dps_fast}
-_SECONDARY_ORDER = ('train', 'pinn', 'dpm', 'dps_fast')
+           'pinn': bench_pinn, 'dpm': bench_dpm, 'dps_fast': bench_dps_fast,
+           'controlled_fast': bench_controlled_fast}
+_SECONDARY_ORDER = ('train', 'pinn', 'dpm', 'dps_fast', 'controlled_fast')
 
 
 def _stale_first_order():
@@ -407,12 +467,13 @@ def _stale_first_order():
   rotating by cache age keeps every metric's on-chip number as fresh as
   the budget allows across rounds instead of always re-measuring train.
   """
+  try:
+    with open(_CACHE_PATH) as f:
+      cache = json.load(f)   # one snapshot for ALL keys: consistent order
+  except (OSError, ValueError):
+    cache = {}
+
   def age_key(name):
-    try:
-      with open(_CACHE_PATH) as f:
-        cache = json.load(f)
-    except (OSError, ValueError):
-      return ''
     stamps = [cache[m]['measured_at'] for m in _SECONDARY_METRICS[name]
               if m in cache and 'measured_at' in cache[m]]
     if len(stamps) < len(_SECONDARY_METRICS[name]):

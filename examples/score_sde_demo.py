@@ -67,7 +67,7 @@ def main():
 
   print("PC sampling ...")
   shape = (16, 16, 16, 3)
-  sampling_fn = jax.jit(sampling.get_sampling_fn(
+  sampling_fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
       config, sde, model, shape, inverse_scaler, eps))
   rng, k = jax.random.split(rng)
   samples, nfe = sampling_fn(k, state.ema_params)

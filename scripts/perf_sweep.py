@@ -61,7 +61,7 @@ def main():
   for batch in args.batches:
     shape = (batch, config.data.image_size, config.data.image_size,
              config.data.num_channels)
-    fn = jax.jit(sampling.get_sampling_fn(
+    fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
         config, sde, model, shape, inverse_scaler, eps))
     t0 = time.perf_counter()
     lowered = fn.lower(fresh_key(), params)
@@ -97,7 +97,7 @@ def main():
     batch = args.batches[-1]
     shape = (batch, config.data.image_size, config.data.image_size,
              config.data.num_channels)
-    fn = jax.jit(sampling.get_sampling_fn(
+    fn = sampling.maybe_jit_sampler(sampling.get_sampling_fn(
         config, sde, model, shape, inverse_scaler, eps))
     np.asarray(fn(fresh_key(), params)[0])
     with jax.profiler.trace(args.trace):

@@ -271,6 +271,26 @@ def test_solver_dispatch_case_and_fixed_steps(monkeypatch):
   assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fixed_solver_dt_scales_with_steps():
+  """The reference's 'fixed' Euler quirk: dt=-2e-5 is NOT the grid spacing,
+  so 5000 steps integrate exactly 0.1 time-units of drift.  The TPU-config
+  `fixed_steps` knob must change RESOLUTION only: any step count still
+  integrates the same 0.1 total (a truncated integral was the round-4
+  review finding), and 'Fixed'/'FIXED' must dispatch like 'fixed'."""
+  x0 = jnp.ones((2, 3))
+
+  def const_field(t, x):
+    return jnp.ones_like(x)  # d(total)/dstep = dt exactly, grid-independent
+
+  for solver, steps in (('fixed', 5000), ('Fixed', 500), ('FIXED', 20)):
+    config = _make_config(solver=solver, sampler='dps')
+    config.inverse.fixed_steps = steps
+    out = conditional_sampling._solve(config, const_field, x0, 1.0, 1e-3)
+    # rtol covers f32 accumulation over up to 5000 adds (~1.5e-4 observed);
+    # a truncated integral would be off by (5000-steps)/5000, e.g. 90%.
+    np.testing.assert_allclose(np.asarray(out), 1.0 - 0.1, rtol=1e-3)
+
+
 def test_controlled_sampler_runs(monkeypatch):
   from b_pinn_kalman_filter_tpu.models import registry
   sde = sde_lib.VPSDE(N=100)
