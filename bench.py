@@ -53,6 +53,16 @@ A100_PINN_RESIDUAL_PTS_PER_SEC = 1.0e6  # see module docstring derivation
 # ceiling.
 SPEED_OF_LIGHT_IMGS_PER_SEC = 10.42
 
+# PINN phase-2 speed-of-light (BASELINE.md round-2 analysis, VERDICT r4
+# Next #5): the literal-schedule step is 5.31 TFLOP by XLA full-program
+# cost analysis, and the nested-grad residual math is f32-bound (bf16
+# derivatives diverge), so the ceiling is the v5e's ~49 TFLOP/s f32 axis —
+# not the 197 TFLOP/s bf16 peak the other stages ride.  The fraction line
+# makes the chip-limited argument driver-visible next to the 0.592
+# vs_baseline instead of living only in BASELINE.md prose.
+PINN_STEP_TFLOP = 5.31
+V5E_F32_PEAK_TFLOPS = 49.0
+
 _BENCH_START = time.monotonic()
 
 
@@ -65,7 +75,8 @@ _CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # Metrics each stage produces (for cache fallback lookup).
 _SECONDARY_METRICS = {
     'train': ['train_imgs_per_sec_cifar10_ddpmpp_batch128_bf16'],
-    'pinn': ['pinn_phase2_residual_points_per_sec_pde'],
+    'pinn': ['pinn_fraction_of_f32_speed_of_light',
+             'pinn_phase2_residual_points_per_sec_pde'],
     'dpm': ['dpm_solver_sampling_imgs_per_sec_per_chip_nfe20'],
     'dps_fast': ['dps_fast_posterior_imgs_per_sec_per_chip_dpm50'],
     'controlled_fast': ['controlled_fast_inverse_imgs_per_sec_per_chip_dpm50'],
@@ -121,13 +132,14 @@ def _cache_emit(name: str):
   return last
 
 
-def _emit(metric, value, unit, baseline):
+def _emit(metric, value, unit, baseline, **extra):
   record = {
       "metric": metric,
       "value": round(float(value), 3),
       "unit": unit,
       "vs_baseline": round(float(value) / baseline, 3),
   }
+  record.update(extra)
   line = json.dumps(record)
   print(line, flush=True)
   # Only real-chip numbers may enter the cache: a CPU dev-drive of a bench
@@ -228,6 +240,10 @@ def bench_pinn():
                                     dev_batches[i])
   np.asarray(loss)
   dt = (time.perf_counter() - t0) / n_steps
+  _emit("pinn_fraction_of_f32_speed_of_light",
+        PINN_STEP_TFLOP / dt / V5E_F32_PEAK_TFLOPS,
+        "fraction of v5e f32 peak (5.31 TFLOP/step by XLA cost analysis; "
+        "nested-grad residuals are f32-bound)", 1.0)
   _emit("pinn_phase2_residual_points_per_sec_pde",
         B * H * H / dt, "residual pts/sec", A100_PINN_RESIDUAL_PTS_PER_SEC)
 
@@ -438,18 +454,64 @@ def bench_controlled_fast():
         B / dt / jax.device_count(),
         "imgs/sec/chip (controlled projection sampler x DPM-Solver++ 50 "
         "steps; no grad-through-score)",
-        0.08)
+        0.08,
+        # The 0.08 baseline is extrapolated from the measured DPS RK45
+        # number, not itself measured (ADVICE r4): tag it so the ~1200x
+        # vs_baseline is not read as measured-vs-measured.
+        baseline_estimated=True)
 
 
-# Expected secondary wall-times (s), compile-dominated (CLAUDE.md:
-# server-side remote compiles, no persistent cache so every process pays).
-# Round-3 measurements: headline sampling stage 1067 s, train 1133 s,
-# PINN phase-2 (literal schedule) 1653 s, dpm 634 s (chip queue).  The
-# PINN stage can never fit the in-driver budget (headline + 1653 s >
-# any plausible driver timeout) — it rides the cache, refreshed by
-# `bench.py --only pinn` runs during tunnel windows.
+# Fallback expected wall-times (s) for stages that have never completed a
+# live run on this install, compile-dominated (CLAUDE.md: server-side
+# remote compiles).  Round-3 measurements: headline sampling stage 1067 s,
+# train 1133 s, PINN phase-2 (literal schedule) 1653 s, dpm 634 s.  These
+# constants rot (VERDICT r4 Weak #5), so they are only the cold-start
+# estimate: every successful live stage writes its measured wall into
+# BENCH_CACHE.json under ``_stage_walls`` and _expected_wall() prefers
+# that, slightly inflated, over these numbers.
 _EXPECTED_SECONDARY_S = {'sampling': 1100, 'train': 1150, 'pinn': 1700,
                          'dpm': 700, 'dps_fast': 900, 'controlled_fast': 700}
+
+# Margin (s) a stage must leave for the exit path (tail flush, cache write,
+# headline reprint).  VERDICT r4 Weak #1: the r04 kill landed because the
+# gate admitted a stage with zero margin — `remaining < expected` let a
+# live PINN run finish exactly at the driver's SIGKILL.
+_EXIT_MARGIN_S = float(os.environ.get('BENCH_EXIT_MARGIN', '180'))
+
+
+def _cache_load():
+  try:
+    with open(_CACHE_PATH) as f:
+      return json.load(f)
+  except (OSError, ValueError):
+    return {}
+
+
+def _stage_wall_store(name: str, wall_s: float):
+  """Record a successful live stage's measured wall-time (write-through,
+  same file as the metric cache) so future budget gating is driven by
+  measured history instead of hand-maintained constants."""
+  try:
+    cache = _cache_load()
+    walls = cache.setdefault('_stage_walls', {})
+    walls[name] = {'wall_s': round(wall_s, 1),
+                   'measured_at': time.strftime('%Y-%m-%dT%H:%M:%S')}
+    tmp = _CACHE_PATH + '.tmp'
+    with open(tmp, 'w') as f:
+      json.dump(cache, f, indent=1, sort_keys=True)
+      f.write('\n')
+    os.replace(tmp, _CACHE_PATH)
+  except OSError:
+    pass
+
+
+def _expected_wall(name: str) -> float:
+  """Expected live wall for a stage: the last measured wall (+25% headroom
+  — server compile times drift) when one exists, else the cold constant."""
+  rec = _cache_load().get('_stage_walls', {}).get(name)
+  if rec and 'wall_s' in rec:
+    return float(rec['wall_s']) * 1.25
+  return float(_EXPECTED_SECONDARY_S.get(name, 900))
 
 # Single stage registry: --only dispatch, the secondary run order, and the
 # cache-fallback metric map all derive from here (a stage added in one
@@ -499,21 +561,25 @@ def _run_secondary(name: str, deadline: float):
   """
   import subprocess
   import sys
-  expected = _EXPECTED_SECONDARY_S.get(name, 900)
+  expected = _expected_wall(name)
   for attempt in range(2):  # tunnel stream errors are transient — retry once
     remaining = deadline - _elapsed()
-    # Full-expected gate (BENCH_r03 rc=124 post-mortem): with a 0.6x gate a
-    # compile-dominated stage could start with too little budget, eat the
-    # rest of the deadline, and get the whole bench killed by the driver.
-    if remaining < expected:
+    # Gate with an explicit exit margin (VERDICT r4 Weak #1): a stage may
+    # only start if its full expected wall AND the exit path both fit, so
+    # a correctly-estimated stage can never run into the driver's kill.
+    if remaining < expected + _EXIT_MARGIN_S:
       print(json.dumps({
           "metric": f"bench_{name}_skipped",
-          "error": (f"budget: {remaining:.0f}s left < expected ~{expected}s "
-                    "(compile-dominated; see BASELINE.md for hand-run value)"),
+          "error": (f"budget: {remaining:.0f}s left < expected ~{expected:.0f}s"
+                    f" + {_EXIT_MARGIN_S:.0f}s exit margin (compile-dominated;"
+                    " cached value emitted at start of run)"),
       }), flush=True)
-      return _cache_emit(name)
+      return None
+    # Hard subprocess timeout still leaves the exit margin even when the
+    # expectation was wrong (the r04 failure mode: estimate below reality).
     timeout = int(min(float(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700')),
-                      max(remaining - 30, 120)))
+                      max(remaining - _EXIT_MARGIN_S, 120)))
+    t0 = time.monotonic()
     try:
       proc = subprocess.run([sys.executable, os.path.abspath(__file__),
                              '--only', name],
@@ -521,19 +587,20 @@ def _run_secondary(name: str, deadline: float):
     except subprocess.TimeoutExpired:
       print(json.dumps({"metric": f"bench_{name}_error",
                         "error": f"timeout after {timeout}s"}), flush=True)
-      return _cache_emit(name)
+      return None
     emitted = None
     for line in proc.stdout.splitlines():
       if line.startswith('{'):
         print(line, flush=True)
         emitted = line
     if proc.returncode == 0 and emitted:
+      _stage_wall_store(name, time.monotonic() - t0)
       return emitted
     err_lines = [l for l in proc.stderr.splitlines() if 'Error' in l]
     err = (err_lines[-1] if err_lines else proc.stderr[-200:])[:300]
     print(json.dumps({"metric": f"bench_{name}_error",
                       "attempt": attempt + 1, "error": err}), flush=True)
-  return _cache_emit(name)
+  return None
 
 
 def _tunnel_alive(timeout_s: int = 600) -> bool:
@@ -564,35 +631,43 @@ def main():
     which = sys.argv[sys.argv.index('--only') + 1]
     _STAGES[which]()
     return
-  # Whole-bench budget: stages that don't fit are skipped with a JSON
-  # explanation rather than running into the driver's hard timeout.
-  # 2400 s default: BENCH_r02 and _r03 both hit the driver's kill (rc=124)
-  # with a 3100 s self-deadline, so the driver budget is <= ~3000 s; 2400
-  # leaves headroom for the exit path and tail flushing.
-  deadline = float(os.environ.get('BENCH_DEADLINE', '2400'))
-  if not _tunnel_alive():
-    # Emit the last on-chip measurements (labeled cached) so the driver
-    # record carries every metric even through a tunnel outage.
+  # Whole-bench budget (VERDICT r4 Weak #1 reconstruction: the driver's
+  # real kill budget is ~1800 s — BENCH_r02..r04 all rc=124 with larger
+  # self-deadlines).  1500 s default leaves ~300 s of driver headroom.
+  deadline = float(os.environ.get('BENCH_DEADLINE', '1500'))
+  # Emit every cached metric ONCE, immediately, before even probing the
+  # tunnel (VERDICT r4 Next #1c): the complete record exists from second
+  # one, so a mis-estimated driver kill at ANY later point still leaves
+  # all metrics in the tail.  Ends on the headline (cache order puts the
+  # sampling stage last, and its metric list ends with the headline).
+  headline = None
+  for name in _SECONDARY_ORDER + ('sampling',):
+    line = _cache_emit(name)
+    if name == 'sampling':
+      headline = line
+  # Bounded probe: a down tunnel blocks init ~15 min in-process (CLAUDE.md
+  # round-3 outage); the probe subprocess is killable and the cached
+  # record above is already complete if it fails.
+  if not _tunnel_alive(timeout_s=int(min(600.0, max(
+      deadline - _elapsed() - _EXIT_MARGIN_S, 60)))):
     print(json.dumps({
         "metric": "bench_tunnel_down",
         "error": "TPU tunnel unavailable (liveness probe failed); "
-                 "re-emitting last on-chip measurements from BENCH_CACHE",
+                 "cached on-chip measurements above are the record",
     }), flush=True)
-    for name in _SECONDARY_ORDER + ('sampling',):
-      _cache_emit(name)
+    if headline:
+      print(headline, flush=True)
     return
-  # Headline FIRST (so it exists even if the driver kills a long secondary
-  # bench), then re-printed after every secondary so the driver's
-  # last-JSON-line tail-parse lands on it at any interruption point.  The
-  # headline runs through the same watchdogged subprocess as the
-  # secondaries: a mid-run tunnel stall is a 0%-CPU block no in-process
-  # exception ever interrupts, and it must fall back to the cached number
-  # instead of eating the driver budget.
-  headline = _run_secondary('sampling', deadline)
+  # Live refresh, headline stage first, then secondaries stalest-first —
+  # each gated so it can never run into the driver's kill.  The headline
+  # is re-printed after every stage so the driver's last-JSON-line
+  # tail-parse lands on it at any interruption point.
+  live = _run_secondary('sampling', deadline)
+  headline = live or headline
   if headline is None:
     headline = json.dumps({"metric": "bench_sampling_error",
                            "error": "no live or cached headline available"})
-    print(headline, flush=True)
+  print(headline, flush=True)
   for name in _stale_first_order():
     _run_secondary(name, deadline)
     print(headline, flush=True)
