@@ -214,6 +214,231 @@ def ddpm_params_from_torch_state_dict(state_dict: Dict[str, Any],
   return params
 
 
+def _fir_conv2d(sd, prefix, used):
+  """up_or_down_sampling.Conv2d (reference up_or_down_sampling.py:23-56):
+  torch ``weight`` (O, I, kH, kW) -> our resample.Conv2d ``weight`` HWIO."""
+  used.add(prefix + '.weight')
+  out = {'weight': _np(sd[prefix + '.weight']).transpose(2, 3, 1, 0)}
+  if prefix + '.bias' in sd:
+    used.add(prefix + '.bias')
+    out['bias'] = _np(sd[prefix + '.bias'])
+  return out
+
+
+def _ncsnpp_walk(config) -> List[Tuple[Optional[int], str, str, dict]]:
+  """Replay the reference NCSN++ ``all_modules`` construction order
+  (reference models/ncsnpp.py:68-230) against our flax auto-naming
+  (models/ncsnpp.py ``__call__``) — the module sequences are identical, so
+  one walk yields ``(torch_index, kind, flax_name, extra)`` per module.
+
+  Two bookkeeping subtleties the DDPM walk does not have:
+
+  * the progressive pyramid resamplers with ``with_conv=False`` live
+    OUTSIDE ``all_modules`` on the torch side (``self.pyramid_upsample`` /
+    ``self.pyramid_downsample``, reference ncsnpp.py:101,110) but are
+    ordinary auto-named flax submodules on ours — they consume a flax name
+    counter while owning no params and no torch index (kind='skip');
+  * ``nf * 4`` temb Denses exist only under ``conditional``, and the
+    fourier projection only under ``embedding_type='fourier'``.
+  """
+  nf = config.model.nf
+  ch_mult = config.model.ch_mult
+  num_res_blocks = config.model.num_res_blocks
+  attn_resolutions = config.model.attn_resolutions
+  resamp_with_conv = config.model.resamp_with_conv
+  num_resolutions = len(ch_mult)
+  all_res = [config.data.image_size // (2 ** i) for i in range(num_resolutions)]
+  resblock_type = config.model.resblock_type.lower()
+  progressive = config.model.progressive.lower()
+  progressive_input = config.model.progressive_input.lower()
+  embedding_type = config.model.embedding_type.lower()
+  combine_method = config.model.progressive_combine.lower()
+  fir = config.model.fir
+  resblock_cls = ('ResnetBlockBigGANpp' if resblock_type == 'biggan'
+                  else 'ResnetBlockDDPMpp')
+
+  entries: List[Tuple[Optional[int], str, str, dict]] = []
+  counters: Dict[str, int] = {}
+  idx = 0
+
+  def flax_name(flax_type: str) -> str:
+    n = counters.get(flax_type, 0)
+    counters[flax_type] = n + 1
+    return f'{flax_type}_{n}'
+
+  def emit(kind: str, flax_type: str, **extra):
+    nonlocal idx
+    entries.append((idx, kind, flax_name(flax_type), extra))
+    idx += 1
+
+  def resblock(in_ch, out_ch, up=False, down=False):
+    if resblock_type == 'biggan':
+      shortcut = 'conv1x1' if (in_ch != out_ch or up or down) else None
+    else:
+      shortcut = 'nin' if in_ch != out_ch else None
+    emit('resblock', resblock_cls, shortcut=shortcut,
+         conditional=config.model.conditional)
+
+  if embedding_type == 'fourier':
+    emit('fourier', 'GaussianFourierProjection')
+  if config.model.conditional:
+    emit('linear', 'Dense')
+    emit('linear', 'Dense')
+
+  emit('conv3x3', 'Conv3x3')
+  hs_c = [nf]
+  in_ch = nf
+  input_pyramid_ch = config.data.num_channels
+
+  for i_level in range(num_resolutions):
+    for _ in range(num_res_blocks):
+      out_ch = nf * ch_mult[i_level]
+      resblock(in_ch, out_ch)
+      in_ch = out_ch
+      if all_res[i_level] in attn_resolutions:
+        emit('attn', 'AttnBlockpp')
+      hs_c.append(in_ch)
+    if i_level != num_resolutions - 1:
+      if resblock_type == 'ddpm':
+        emit('downsample', 'Downsample', with_conv=resamp_with_conv, fir=fir)
+      else:
+        resblock(in_ch, in_ch, down=True)
+      if progressive_input == 'input_skip':
+        flax_name('Downsample')        # param-less pyramid_downsample (flax)
+        emit('combine', 'Combine')
+        if combine_method == 'cat':
+          in_ch *= 2
+      elif progressive_input == 'residual':
+        emit('downsample', 'Downsample', with_conv=True, fir=fir)
+        input_pyramid_ch = in_ch
+      hs_c.append(in_ch)
+
+  resblock(in_ch, in_ch)
+  emit('attn', 'AttnBlockpp')
+  resblock(in_ch, in_ch)
+
+  pyramid_ch = 0
+  for i_level in reversed(range(num_resolutions)):
+    for _ in range(num_res_blocks + 1):
+      out_ch = nf * ch_mult[i_level]
+      resblock(in_ch + hs_c.pop(), out_ch)
+      in_ch = out_ch
+    if all_res[i_level] in attn_resolutions:
+      emit('attn', 'AttnBlockpp')
+    if progressive != 'none':
+      if i_level == num_resolutions - 1:
+        emit('groupnorm', 'GroupNorm')
+        emit('conv3x3', 'Conv3x3')
+        pyramid_ch = (config.data.num_channels
+                      if progressive == 'output_skip' else in_ch)
+      else:
+        if progressive == 'output_skip':
+          flax_name('Upsample')        # param-less pyramid_upsample (flax)
+          emit('groupnorm', 'GroupNorm')
+          emit('conv3x3', 'Conv3x3')
+        else:  # 'residual'
+          emit('upsample', 'Upsample', with_conv=True, fir=fir)
+          pyramid_ch = in_ch
+    if i_level != 0:
+      if resblock_type == 'ddpm':
+        emit('upsample', 'Upsample', with_conv=resamp_with_conv, fir=fir)
+      else:
+        resblock(in_ch, in_ch, up=True)
+
+  assert not hs_c
+  if progressive != 'output_skip':
+    emit('groupnorm', 'GroupNorm')
+    emit('conv3x3', 'Conv3x3')
+  del pyramid_ch, input_pyramid_ch  # tracked only to mirror the reference
+  return entries
+
+
+def ncsnpp_params_from_torch_state_dict(state_dict: Dict[str, Any],
+                                        config) -> Dict[str, Any]:
+  """Reference 'ncsnpp' model state_dict -> flax ``params`` pytree
+  (reference models/ncsnpp.py:34-381 — the published flagship family).
+
+  Covers every architecture axis the reference constructor switches on:
+  ddpm/biggan resblocks, fourier/positional embeddings, FIR or naive
+  resampling, and all progressive / progressive_input pyramid variants.
+  Raises ``ValueError`` on unconsumed ``all_modules.*`` keys, like the
+  DDPM converter.
+  """
+  state_dict = strip_module_prefix(state_dict)
+  used: set = set()
+  params: Dict[str, Any] = {}
+  fir = config.model.fir
+
+  def conv_module(p):
+    # flax Conv3x3/Conv1x1 wrap an inner nn.Conv scoped 'Conv_0'.
+    return {'Conv_0': _conv(state_dict, p, used)}
+
+  for torch_idx, kind, name, extra in _ncsnpp_walk(config):
+    p = f'all_modules.{torch_idx}'
+    if kind == 'skip':  # pragma: no cover - param-less entries are not emitted
+      continue
+    if kind == 'fourier':
+      used.add(p + '.W')
+      params[name] = {'W': _np(state_dict[p + '.W'])}
+    elif kind == 'linear':
+      params[name] = _linear(state_dict, p, used)
+    elif kind == 'conv3x3':
+      params[name] = conv_module(p)
+    elif kind == 'groupnorm':
+      params[name] = _groupnorm(state_dict, p, used)
+    elif kind == 'attn':
+      params[name] = {
+          'GroupNorm_0': _groupnorm(state_dict, p + '.GroupNorm_0', used),
+          'NIN_0': _nin(state_dict, p + '.NIN_0', used),
+          'NIN_1': _nin(state_dict, p + '.NIN_1', used),
+          'NIN_2': _nin(state_dict, p + '.NIN_2', used),
+          'NIN_3': _nin(state_dict, p + '.NIN_3', used),
+      }
+    elif kind == 'combine':
+      params[name] = {'Conv1x1_0': conv_module(p + '.Conv_0')}
+    elif kind == 'downsample':
+      if not extra['with_conv']:
+        continue
+      if fir:
+        params[name] = {'Conv2d_0': _fir_conv2d(state_dict, p + '.Conv2d_0',
+                                                used)}
+      else:
+        params[name] = {'Conv_0': _conv(state_dict, p + '.Conv_0', used)}
+    elif kind == 'upsample':
+      if not extra['with_conv']:
+        continue
+      if fir:
+        params[name] = {'Conv2d_0': _fir_conv2d(state_dict, p + '.Conv2d_0',
+                                                used)}
+      else:
+        params[name] = {'Conv3x3_0': conv_module(p + '.Conv_0')}
+    elif kind == 'resblock':
+      block = {
+          'GroupNorm_0': _groupnorm(state_dict, p + '.GroupNorm_0', used),
+          'Conv3x3_0': conv_module(p + '.Conv_0'),
+          'GroupNorm_1': _groupnorm(state_dict, p + '.GroupNorm_1', used),
+          'Conv3x3_1': conv_module(p + '.Conv_1'),
+      }
+      if extra['conditional']:
+        block['Dense_0'] = _linear(state_dict, p + '.Dense_0', used)
+      if extra['shortcut'] == 'conv1x1':   # biggan (reference layerspp.py:235)
+        block['Conv1x1_0'] = conv_module(p + '.Conv_2')
+      elif extra['shortcut'] == 'nin':     # ddpm++ (reference layerspp.py:186)
+        block['NIN_0'] = _nin(state_dict, p + '.NIN_0', used)
+      params[name] = block
+    else:  # pragma: no cover - walk only emits the kinds above
+      raise AssertionError(kind)
+
+  unconsumed = sorted(k for k in state_dict
+                      if k.startswith('all_modules.') and k not in used)
+  if unconsumed:
+    raise ValueError(
+        'torch state_dict keys not consumed by the NCSN++ architecture walk '
+        f'(checkpoint/config mismatch?): {unconsumed[:8]}'
+        f'{" ..." if len(unconsumed) > 8 else ""}')
+  return params
+
+
 def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
                                      shape: Sequence[int] = (1, 3, 3, 1)
                                      ) -> Dict[str, Any]:
@@ -252,16 +477,22 @@ def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
 
 
 def substitute_ema_shadow(state_dict: Dict[str, Any],
-                          ema_state: Dict[str, Any]) -> Dict[str, Any]:
+                          ema_state: Dict[str, Any],
+                          extra_exclude: Sequence[str] = ()) -> Dict[str, Any]:
   """Rebuild a state_dict with EMA shadow tensors in place of the params.
 
-  ``shadow_params`` is a flat list in ``model.parameters()`` order
-  (reference models/ema.py:29-30): for the reference DDPM that is the
-  state-dict key order with the ``sigmas`` buffer removed (the only buffer;
-  GroupNorm carries no running stats).
+  ``shadow_params`` is a flat list of the ``requires_grad`` parameters in
+  ``model.parameters()`` order (reference models/ema.py:28-29): for the
+  reference score models that is the state-dict key order with the
+  ``sigmas`` buffer removed (the only buffer; GroupNorm carries no running
+  stats) — plus, for fourier-embedding NCSN++, the frozen
+  ``GaussianFourierProjection.W`` (a ``requires_grad=False`` nn.Parameter,
+  reference layerspp.py:37, hence also absent from the shadow list; pass
+  it via ``extra_exclude``).
   """
   shadows = list(ema_state['shadow_params'])
-  param_keys = [k for k in state_dict if k != 'sigmas']
+  exclude = {'sigmas', *extra_exclude}
+  param_keys = [k for k in state_dict if k not in exclude]
   if len(param_keys) != len(shadows):
     raise ValueError(
         f'{len(shadows)} EMA shadow tensors vs {len(param_keys)} params')
@@ -299,13 +530,20 @@ def convert_reference_checkpoint(ckpt: Any, config,
   sd = strip_module_prefix(ckpt['model'])
   # Dispatch on the registry name the config selects (reference
   # models/utils.py registry: 'mlp' is the only non-ModuleList score model).
+  ema_exclude: Tuple[str, ...] = ()
   if config.model.name == 'mlp':
     convert = lambda d: mlp_params_from_torch_state_dict(d, config)
+  elif config.model.name == 'ncsnpp':
+    convert = lambda d: ncsnpp_params_from_torch_state_dict(d, config)
+    if config.model.embedding_type.lower() == 'fourier':
+      # Frozen fourier W is requires_grad=False => not in the EMA shadow
+      # list (see substitute_ema_shadow); it is all_modules.0 by ctor order.
+      ema_exclude = ('all_modules.0.W',)
   else:
     convert = lambda d: ddpm_params_from_torch_state_dict(d, config)
   params = convert(sd)
   if 'ema' in ckpt and ckpt['ema'] is not None:
-    ema_sd = substitute_ema_shadow(sd, ckpt['ema'])
+    ema_sd = substitute_ema_shadow(sd, ckpt['ema'], extra_exclude=ema_exclude)
     ema_params = convert(ema_sd)
   else:
     ema_params = jax.tree_util.tree_map(np.copy, params)
