@@ -75,4 +75,12 @@ def get_default_configs():
   optim.grad_clip = 1.
 
   config.seed = 42
-  return add_tpu_defaults(config)
+  config = add_tpu_defaults(config)
+  # N=2000 (model.num_scales above, reference default_nc_configs.py:58)
+  # makes the single-dispatch PC scan a ~70 s device program at batch 64,
+  # which crashed the tunnel worker (BASELINE.md round-4 NC row).  Default
+  # the whole NC family to the bit-identical chunked dispatch at the
+  # chunk count the 256²/N=2000 chip run validated (chip_logs/hr256.log:
+  # pc_chunks=40 → 50 predictor steps ≈ seconds per dispatch).
+  config.sampling.pc_chunks = 40
+  return config

@@ -22,4 +22,8 @@ def get_config():
 
   ncsnpp_highres_model(config.model)
   config.model.sigma_max = 348
+  # 256² + N=2000 single-dispatch PC holds the device ~4 min — the crash
+  # pattern of BASELINE.md's NC row; chip-validated chunking
+  # (chip_logs/hr256.log ran exactly this: pc_chunks=40).
+  config.sampling.pc_chunks = 40
   return config

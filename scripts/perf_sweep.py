@@ -58,6 +58,14 @@ def main():
   def fresh_key():
     return jax.random.PRNGKey(int(time.time_ns()) % 2 ** 31)
 
+  # The chunked PC path (sampling.pc_chunks > 1, now the NC/256² default)
+  # returns a pre-dispatched plain function with no .lower — and chunking
+  # is irrelevant to the cost analysis below, so sweep the single-scan
+  # program.
+  if config.sampling.get('pc_chunks', 0):
+    with config.unlocked():
+      config.sampling.pc_chunks = 0
+
   for batch in args.batches:
     shape = (batch, config.data.image_size, config.data.image_size,
              config.data.num_channels)

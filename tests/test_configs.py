@@ -87,7 +87,54 @@ def test_extension_knobs_are_cli_settable():
     assert c.sampling.dpm_steps == 20, name
     assert c.sampling.dpm_order == 2, name
     assert c.sampling.dpm_skip == 'logsnr', name
-    assert c.sampling.pc_chunks == 0, name
+  # CIFAR (N=1000) is measured safe as one dispatch; pc_chunks stays 0.
+  for name in ('vp/cifar10_ddpmpp_continuous', 've/cifar10_ncsnpp_continuous'):
+    assert configs.get_config(name).sampling.pc_chunks == 0, name
+
+
+def test_long_scan_configs_default_to_chunked_pc():
+  """The N=2000 single-dispatch PC scan crashed the tunnel worker at batch
+  64 / held the device ~4 min at 256² (BASELINE.md round-4 NC and 256²
+  rows), so the hazard configs must default to the bit-identical chunked
+  dispatch at the chip-validated chunk count — and get_sampling_fn must
+  actually route them through get_pc_chunked_sampler (VERDICT r4 Next #4).
+  """
+  import jax
+  import numpy as np
+
+  from b_pinn_kalman_filter_tpu import configs
+  from b_pinn_kalman_filter_tpu.core import sampling, sde as sde_lib
+  from b_pinn_kalman_filter_tpu.models import registry as mutils
+
+  hazard = ('vp/nc_ddpmpp', 'vp/nc_chl_ddpmpp',
+            'inverse/nc_ddpmpp_inpaint', 'inverse/nc_ddpmpp_inpaint_dps',
+            'inverse/nc_ddpmpp_rndinpaint_dps',
+            've/celebahq_256_ncsnpp_continuous',
+            've/ffhq_256_ncsnpp_continuous')
+  for name in hazard:
+    c = configs.get_config(name)
+    assert c.sampling.pc_chunks == 40, name
+    assert c.model.num_scales % c.sampling.pc_chunks == 0, name
+
+  # Dispatch check at tiny scale: shrink one hazard config's model and
+  # verify the sampler comes back as the chunked (pre-dispatched) path.
+  config = configs.get_config('vp/nc_ddpmpp')
+  config = config.unlock()
+  config.data.image_size = 8
+  config.data.num_channels = 1
+  config.model.nf = 8
+  config.model.ch_mult = (1, 2)
+  config.model.num_res_blocks = 1
+  config.model.attn_resolutions = (4,)
+  config.model.num_scales = 80  # keep % 40 == 0
+  model, variables = mutils.init_model(jax.random.PRNGKey(0), config)
+  sde, eps = sde_lib.get_sde(config)
+  shape = (2, 8, 8, 1)
+  fn = sampling.get_sampling_fn(config, sde, model, shape, lambda x: x, eps)
+  assert getattr(fn, 'already_dispatched', False)
+  samples, nfe = fn(jax.random.PRNGKey(3), variables['params'])
+  assert samples.shape == shape
+  assert np.isfinite(np.asarray(samples)).all()
 
   for name in ('inverse/nc_ddpmpp_inpaint', 'inverse/nc_ddpmpp_inpaint_dps',
                'inverse/nc_ddpmpp_rndinpaint_dps'):
