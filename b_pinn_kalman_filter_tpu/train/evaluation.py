@@ -11,6 +11,7 @@ feature_fn when weights are present.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -142,6 +143,15 @@ def get_feature_extractor(config=None) -> Tuple[Callable, str]:
   params = inception.load_inception_params()
   if params is not None:
     return inception.make_inception_feature_fn(params), 'inception_v3'
+  if os.environ.get('BPKF_INCEPTION_RANDOM_INIT'):
+    # Protocol-scale proxy: the REAL InceptionV3 architecture (299^2 resize,
+    # full conv stack, pool3-2048 features) with seed-fixed random weights.
+    # Exercises the true compute/memory path of the FID protocol in this
+    # no-egress environment; values are still a random-feature proxy and the
+    # label says so (never plain 'inception_v3').
+    params = inception.random_inception_params(jax.random.PRNGKey(2023))
+    return (inception.make_inception_feature_fn(params),
+            'inception_v3_random_proxy')
   import logging
   logging.getLogger(__name__).warning(
       'No InceptionV3 weights found; FID/KID/IS use RANDOM-FEATURE PROXY '

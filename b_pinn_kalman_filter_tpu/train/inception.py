@@ -124,12 +124,17 @@ FEATURE_DIM = 2048
 
 
 def random_inception_params(rng: Array) -> Params:
-  """Correctly-shaped random parameters (for hermetic tests)."""
+  """Correctly-shaped random parameters (hermetic tests + the random-proxy
+  protocol driver).  He scaling (sqrt(2/fan_in)) — with 1/sqrt(fan_in) the
+  ReLU stack halves activation variance per layer and the ~25-conv deepest
+  path collapses features to ~0 (dead extractor: FID between any two image
+  sets ~0, IS exactly 1 — observed on the first 50k-protocol dry-run)."""
   params = {}
   keys = jax.random.split(rng, len(CONV_SPEC) + 1)
   for key, (name, k, cin, cout, _, _) in zip(keys, CONV_SPEC):
     fan_in = k[0] * k[1] * cin
-    w = np.asarray(jax.random.normal(key, k + (cin, cout))) / np.sqrt(fan_in)
+    w = np.asarray(jax.random.normal(key, k + (cin, cout))) * np.sqrt(
+        2.0 / fan_in)
     params[name] = (w.astype(np.float32), np.zeros(cout, np.float32))
   wfc = np.asarray(jax.random.normal(keys[-1], (FEATURE_DIM, NUM_LOGITS)))
   params['fc'] = ((wfc / np.sqrt(FEATURE_DIM)).astype(np.float32),
@@ -321,7 +326,35 @@ def load_inception_params(path: Optional[str] = None) -> Optional[Params]:
   return None
 
 
-def make_inception_feature_fn(params: Params, batch: int = 64):
-  """Jitted ``feature_fn(images) -> (pool (B,2048), logits (B,1000))``."""
+def make_inception_feature_fn(params: Params, batch: int = 128):
+  """Chunked ``feature_fn(images) -> (pool (N,2048), logits (N,1000))``.
+
+  Inputs larger than ``batch`` are streamed through a fixed-shape jitted
+  forward in ``batch``-sized chunks (tail chunk zero-padded so ONE compiled
+  program serves every call — remote TPU compiles are minutes each).  This
+  is a protocol-scale requirement, not an optimization: at 299^2 the early
+  Inception layers hold ~23 MB of activations per image, so feeding a whole
+  50k-FID sampling round (eval.batch_size images) through one program would
+  exceed HBM.  Chunk results are read back to host as they complete, so
+  device memory stays O(batch) regardless of N.
+  """
   fwd = jax.jit(functools.partial(inception_forward, params))
-  return fwd
+
+  def feature_fn(images):
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    if n <= batch:
+      return fwd(images)
+    pools, logits = [], []
+    for i in range(0, n, batch):
+      chunk = images[i:i + batch]
+      valid = chunk.shape[0]
+      if valid < batch:
+        pad = jnp.zeros((batch - valid,) + tuple(chunk.shape[1:]), chunk.dtype)
+        chunk = jnp.concatenate([chunk, pad])
+      p, l = fwd(chunk)
+      pools.append(np.asarray(p)[:valid])
+      logits.append(np.asarray(l)[:valid])
+    return np.concatenate(pools), np.concatenate(logits)
+
+  return feature_fn

@@ -334,7 +334,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
     feature_fn, feature_source = evaluation.get_feature_extractor(config)
     ref_feats = evaluation.load_dataset_stats(
         config, eval_ds, feature_fn, feature_source,
-        stats_dir=os.path.join(eval_dir, "assets"))
+        stats_dir=os.path.join(eval_dir, "assets"),
+        max_images=int(config.eval.get('num_ref_images', 2048)))
 
   # config.eval.wait_for_ckpt: poll for checkpoints like the reference
   # (train-alongside-eval workflow); default False keeps standalone eval.
