@@ -439,6 +439,160 @@ def ncsnpp_params_from_torch_state_dict(state_dict: Dict[str, Any],
   return params
 
 
+def _in_plus(sd, prefix, used):
+  """InstanceNorm2dPlus params (reference normalization.py:157-168):
+  alpha/gamma/beta carry the same names on both sides."""
+  out = {'alpha': _np(sd[prefix + '.alpha']),
+         'gamma': _np(sd[prefix + '.gamma'])}
+  used.update((prefix + '.alpha', prefix + '.gamma'))
+  if prefix + '.beta' in sd:
+    used.add(prefix + '.beta')
+    out['beta'] = _np(sd[prefix + '.beta'])
+  return out
+
+
+def _ncsnv2_residual_block(sd, p, used, resample, dilation, in_eq_out,
+                           adjust_padding=False):
+  """Reference models/layers.py:438-492 ResidualBlock -> our
+  layers_ncsn.ResidualBlock flax scope.
+
+  torch attributes: conv1 / conv2 / shortcut / normalize1 / normalize2;
+  flax auto-names follow CALL order (normalize1, conv1, normalize2, conv2,
+  shortcut).  ConvMeanPool nests its conv under ``.conv`` — or ``.conv.1``
+  when adjust_padding wraps it in Sequential(ZeroPad2d, conv) (reference
+  layers.py:339-349).
+  """
+  blk = {'InstanceNorm2dPlus_0': _in_plus(sd, p + '.normalize1', used),
+         'InstanceNorm2dPlus_1': _in_plus(sd, p + '.normalize2', used)}
+
+  def ncsn_conv(prefix):
+    return {'Conv_0': _conv(sd, prefix, used)}
+
+  if resample == 'down':
+    blk['NCSNConv_0'] = ncsn_conv(p + '.conv1')
+    if dilation > 1:
+      blk['NCSNConv_1'] = ncsn_conv(p + '.conv2')
+      blk['NCSNConv_2'] = ncsn_conv(p + '.shortcut')
+    else:
+      cm = '.conv.1' if adjust_padding else '.conv'
+      blk['ConvMeanPool_0'] = {'NCSNConv_0': ncsn_conv(p + '.conv2' + cm)}
+      blk['ConvMeanPool_1'] = {'NCSNConv_0': ncsn_conv(p + '.shortcut' + cm)}
+  else:  # resample is None
+    blk['NCSNConv_0'] = ncsn_conv(p + '.conv1')
+    blk['NCSNConv_1'] = ncsn_conv(p + '.conv2')
+    if not in_eq_out:  # 1x1 (or dilated 3x3) shortcut, plain 'shortcut' key
+      blk['NCSNConv_2'] = ncsn_conv(p + '.shortcut')
+  return blk
+
+
+def _ncsnv2_rcu(sd, p, used, n_blocks, n_stages=2):
+  """RCUBlock: torch setattr names ``{i+1}_{j+1}_conv`` (reference
+  layers.py:173-186), flax NCSNConv_{k} in the same (block, stage) order."""
+  out, k = {}, 0
+  for i in range(n_blocks):
+    for j in range(n_stages):
+      out[f'NCSNConv_{k}'] = {
+          'Conv_0': _conv(sd, f'{p}.{i + 1}_{j + 1}_conv', used)}
+      k += 1
+  return out
+
+
+def _ncsnv2_convlist(sd, p, used, n):
+  """CRP/MSF blocks: torch ModuleList ``convs.{i}`` -> flax NCSNConv_{i}."""
+  return {f'NCSNConv_{i}': {'Conv_0': _conv(sd, f'{p}.convs.{i}', used)}
+          for i in range(n)}
+
+
+def _ncsnv2_refine_block(sd, p, used, n_inputs, end):
+  """RefineBlock (reference layers.py:267-300): adapt_convs RCUs, MSF (only
+  for n_inputs>1), CRP, output RCU — flax creation order RCUBlock_0..n-1,
+  MSFBlock_0, CRPBlock_0, RCUBlock_n."""
+  blk = {}
+  for i in range(n_inputs):
+    blk[f'RCUBlock_{i}'] = _ncsnv2_rcu(sd, f'{p}.adapt_convs.{i}', used, 2)
+  if n_inputs > 1:
+    blk['MSFBlock_0'] = _ncsnv2_convlist(sd, f'{p}.msf', used, n_inputs)
+  blk['CRPBlock_0'] = _ncsnv2_convlist(sd, f'{p}.crp', used, 2)
+  blk[f'RCUBlock_{n_inputs}'] = _ncsnv2_rcu(sd, f'{p}.output_convs', used,
+                                            3 if end else 1)
+  return blk
+
+
+def _ncsnv2_layout(config):
+  """(res_blocks, refines) for the size-dispatched NCSNv2 variant.
+
+  res_blocks: ``(torch_prefix, resample, dilation, in_eq_out, adjust)`` in
+  flax creation order; refines: ``(torch_attr, n_inputs, end)``.  Mirrors
+  the reference constructors (models/ncsnv2.py:44-99 for <96px, :221-277
+  for 128px, :315-379 for 256px) — note the 256 variant's refine31 sits
+  between refine2 and refine3 in FORWARD order (ncsnv2.py:401-406), which
+  is what flax auto-naming follows.
+  """
+  size = config.data.image_size
+  pair = lambda name, resample=None, dil=1, eq=True, adj=False: [
+      (f'{name}.0', resample, dil, eq, adj), (f'{name}.1', None, dil, True,
+                                              False)]
+  if size < 96:
+    res = (pair('res1') + pair('res2', 'down', eq=False)
+           + pair('res3', 'down', dil=2)
+           + pair('res4', 'down', dil=4, adj=(size == 28)))
+    refines = [('refine1', 1, False), ('refine2', 2, False),
+               ('refine3', 2, False), ('refine4', 2, True)]
+  elif size <= 128:
+    res = (pair('res1') + pair('res2', 'down', eq=False)
+           + pair('res3', 'down') + pair('res4', 'down', dil=2, eq=False)
+           + pair('res5', 'down', dil=4))
+    refines = [('refine1', 1, False), ('refine2', 2, False),
+               ('refine3', 2, False), ('refine4', 2, False),
+               ('refine5', 2, True)]
+  else:
+    res = (pair('res1') + pair('res2', 'down', eq=False)
+           + pair('res3', 'down') + pair('res31', 'down')
+           + pair('res4', 'down', dil=2, eq=False)
+           + pair('res5', 'down', dil=4))
+    refines = [('refine1', 1, False), ('refine2', 2, False),
+               ('refine31', 2, False), ('refine3', 2, False),
+               ('refine4', 2, False), ('refine5', 2, True)]
+  return res, refines
+
+
+def ncsnv2_params_from_torch_state_dict(state_dict: Dict[str, Any],
+                                        config) -> Dict[str, Any]:
+  """Reference NCSNv2 state_dict -> flax ``params`` pytree
+  (reference models/ncsnv2.py — the attribute-named RefineNet family;
+  size-dispatched like models/ncsnv2.py:31-40 ``get_network``).
+
+  Unlike DDPM/NCSN++ there is no ``all_modules`` index walk: torch keys are
+  attribute paths (``res2.0.conv1.weight``, ``refine3.crp.convs.1.weight``)
+  mapped onto our flax auto-naming, which follows the reference's forward
+  order.  Raises ``ValueError`` on unconsumed model keys like the other
+  converters.
+  """
+  state_dict = strip_module_prefix(state_dict)
+  used: set = set()
+  params: Dict[str, Any] = {
+      'NCSNConv_0': {'Conv_0': _conv(state_dict, 'begin_conv', used)}}
+
+  res_blocks, refines = _ncsnv2_layout(config)
+  for i, (tp, resample, dil, eq, adj) in enumerate(res_blocks):
+    params[f'ResidualBlock_{i}'] = _ncsnv2_residual_block(
+        state_dict, tp, used, resample, dil, eq, adj)
+  for j, (tp, n_inputs, end) in enumerate(refines):
+    params[f'RefineBlock_{j}'] = _ncsnv2_refine_block(state_dict, tp, used,
+                                                      n_inputs, end)
+  params['InstanceNorm2dPlus_0'] = _in_plus(state_dict, 'normalizer', used)
+  params['NCSNConv_1'] = {'Conv_0': _conv(state_dict, 'end_conv', used)}
+
+  unconsumed = sorted(k for k in state_dict
+                      if k != 'sigmas' and k not in used)
+  if unconsumed:
+    raise ValueError(
+        'torch state_dict keys not consumed by the NCSNv2 layout '
+        f'(checkpoint/config mismatch?): {unconsumed[:8]}'
+        f'{" ..." if len(unconsumed) > 8 else ""}')
+  return params
+
+
 def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
                                      shape: Sequence[int] = (1, 3, 3, 1)
                                      ) -> Dict[str, Any]:
@@ -539,6 +693,8 @@ def convert_reference_checkpoint(ckpt: Any, config,
       # Frozen fourier W is requires_grad=False => not in the EMA shadow
       # list (see substitute_ema_shadow); it is all_modules.0 by ctor order.
       ema_exclude = ('all_modules.0.W',)
+  elif config.model.name in ('ncsnv2_64', 'ncsnv2_128', 'ncsnv2_256'):
+    convert = lambda d: ncsnv2_params_from_torch_state_dict(d, config)
   else:
     convert = lambda d: ddpm_params_from_torch_state_dict(d, config)
   params = convert(sd)

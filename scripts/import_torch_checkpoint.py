@@ -16,9 +16,12 @@ weights up directly:
   python main.py --config ... --mode sample --ckptdir ./migrated/checkpoints/checkpoint_<k>
   python main.py --config ... --workdir ./migrated --mode eval
 
-Only score-model ('ddpm') checkpoints convert (``info == 1`` layout); the
-torch optimizer moments are layout-coupled and are replaced by a fresh
-optimizer state (see models/torch_port.py docstring).
+Score-model checkpoints convert (``info == 1`` layout) for every registered
+family with a converter: ddpm, mlp, ncsnpp, and the ncsnv2_64/128/256
+RefineNet models — dispatch is on ``config.model.name``
+(models/torch_port.convert_reference_checkpoint).  The torch optimizer
+moments are layout-coupled and are replaced by a fresh optimizer state (see
+models/torch_port.py docstring).
 """
 
 import os
