@@ -53,12 +53,19 @@ def resize_bilinear(x: Array, size) -> Array:
 
 
 class ConvFeature(nn.Module):
-  """Stride-2 feature layer (reference get_conv_feature_layer, flownet.py:27-33)."""
+  """Stride-2 feature layer (reference get_conv_feature_layer, flownet.py:27-33).
+
+  The strided conv needs EXPLICIT symmetric (1,1) padding: torch
+  Conv2d(k=3, s=2, p=1) taps rows {2i-1, 2i, 2i+1}, while XLA 'SAME' at
+  stride 2 pads (0, 1) on even sizes and taps {2i, 2i+1, 2i+2} — same
+  output shape, one-pixel receptive-field shift (caught by the
+  torch-oracle PINN parity test; feature maps diverged ~0.5)."""
   out_ch: int
 
   @nn.compact
   def __call__(self, x):
-    x = _lrelu(nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding='SAME')(x))
+    x = _lrelu(nn.Conv(self.out_ch, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))(x))
     x = _lrelu(nn.Conv(self.out_ch, (3, 3), padding='SAME')(x))
     return x
 

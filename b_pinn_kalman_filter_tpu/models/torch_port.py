@@ -593,6 +593,174 @@ def ncsnv2_params_from_torch_state_dict(state_dict: Dict[str, Any],
   return params
 
 
+def _seq_convs(sd, p, used, flax_names, torch_idx):
+  """A reference Sequential conv stack (conv, LeakyReLU, conv, ...) ->
+  flax Conv_{i} entries (get_conv_feature/field/up_layer builders,
+  reference models/flownet.py:27-58)."""
+  return {fn: _conv(sd, f'{p}.{ti}', used)
+          for fn, ti in zip(flax_names, torch_idx)}
+
+
+def _plain_double_res(sd, p, used, cin, cout):
+  """get_double_res (reference flownet.py:219-224): two ResidualBlocks with
+  param-free InstanceNorm2d — torch keys conv1/conv2/shortcut only; flax
+  scope DoubleRes -> ResidualBlock_{0,1} -> NCSNConv_{0,1,2}."""
+
+  def res(pp, rin, rout):
+    blk = {'NCSNConv_0': {'Conv_0': _conv(sd, pp + '.conv1', used)},
+           'NCSNConv_1': {'Conv_0': _conv(sd, pp + '.conv2', used)}}
+    if rin != rout:
+      blk['NCSNConv_2'] = {'Conv_0': _conv(sd, pp + '.shortcut', used)}
+    return blk
+
+  return {'ResidualBlock_0': res(p + '.0', cin, 2 * cin),
+          'ResidualBlock_1': res(p + '.1', 2 * cin, cout)}
+
+
+def _flow_upsample(sd, prefix, used):
+  """Matching.flow_upsample: torch ConvTranspose2d(2, 2, 4, stride=2,
+  padding=1, groups=2, bias=False), weight (in=2, out/g=1, 4, 4) -> our
+  FlowUpsample lhs-dilated conv 'weight' (4, 4, 1, 2).
+
+  A stride-2/pad-1 transposed conv equals a 2x-lhs-dilated correlation with
+  the SPATIALLY FLIPPED kernel and padding k-1-p = 2 (which is what
+  models/flownet.FlowUpsample computes), so the kernel flips here; groups
+  map input channel g straight to output channel g on both sides."""
+  used.add(prefix + '.weight')
+  w = _np(sd[prefix + '.weight'])[:, 0, ::-1, ::-1]   # (2, 4, 4), flipped
+  return {'weight': np.ascontiguousarray(w.transpose(1, 2, 0))[:, :, None, :]}
+
+
+def _conv_transpose(sd, prefix, used):
+  """PressureNet up: torch ConvTranspose2d(ch_i, ch_o, 2, stride=2) weight
+  (I, O, kh, kw) -> flax nn.ConvTranspose kernel HWIO, SPATIALLY FLIPPED:
+  torch's transposed conv scatters w[.., kh, kw] to output offset (kh, kw),
+  while flax ConvTranspose gathers with the kernel unflipped — verified
+  numerically (unflipped: max diff ~1.06; flipped: exact)."""
+  used.update((prefix + '.weight', prefix + '.bias'))
+  w = _np(sd[prefix + '.weight']).transpose(2, 3, 0, 1)
+  return {'kernel': np.ascontiguousarray(w[::-1, ::-1]),
+          'bias': _np(sd[prefix + '.bias'])}
+
+
+_FIELD = (('Conv_0', 0), ('Conv_1', 2), ('Conv_2', 4), ('Conv_3', 6))
+
+
+def pinn_params_from_torch_state_dict(state_dict: Dict[str, Any],
+                                      config) -> Dict[str, Any]:
+  """Reference PINN (pinn_kalman/pinn.py:34-114: FlowNet + PressureNet)
+  state_dict -> flax ``params`` pytree {'flownet', 'pressurenet'}.
+
+  Only the 'flownet' pyramid architecture converts (the reference PINN
+  configs' default); a LiteFlowNet-based PINN raises.  The coarsest
+  Matching unit's ``flow_upsample`` exists on the torch side but is never
+  called (reference flownet.py:98-105 constructs it unconditionally,
+  :112-117 skips it when flow is None), so its parameters are consumed and
+  dropped — our flax Matching only creates the module when it is used.
+  """
+  if getattr(config.model, 'name', 'flownet') == 'liteflownet':
+    raise ValueError('LiteFlowNet-based PINN checkpoints are not supported '
+                     'by this converter (pyramid FlowNet only)')
+  sd = strip_module_prefix(state_dict)
+  used: set = set()
+  L = len(config.model.feature_nums)
+
+  # ---- flownet ----
+  fe = {}
+  for i in range(L):
+    fe[f'ConvFeature_{i}'] = _seq_convs(
+        sd, f'flownet.feature_extractor.feature_extractors.{i}', used,
+        ('Conv_0', 'Conv_1'), (0, 2))
+  flownet: Dict[str, Any] = {'FeatureExtractor_0': fe}
+  for j in range(L):
+    p = f'flownet.inference_units.{j}'
+    matching = {'ConvField_0': _seq_convs(sd, p + '.match.corr_conv', used,
+                                          *zip(*_FIELD))}
+    if j == 0:
+      # constructed-but-unused coarsest flow_upsample: consume and drop.
+      used.add(p + '.match.flow_upsample.weight')
+    else:
+      matching['FlowUpsample_0'] = _flow_upsample(
+          sd, p + '.match.flow_upsample', used)
+    flownet[f'InferenceUnit_{j}'] = {
+        'Matching_0': matching,
+        'SubpixelRefinement_0': {
+            'ConvField_0': _seq_convs(sd, p + '.refinement.flow_conv', used,
+                                      *zip(*_FIELD))},
+    }
+  flownet['FinalUpsample_0'] = {'ConvUp_0': _seq_convs(
+      sd, 'flownet.upsample.up', used,
+      ('Conv_0', 'Conv_1', 'Conv_2'), (0, 2, 4))}
+
+  # ---- pressurenet ----
+  ch = list(config.model.feature_nums)
+  ff = 32
+  pn: Dict[str, Any] = {
+      'DoubleRes_0': _plain_double_res(sd, 'pressurenet.flow_feature', used,
+                                       3, ff),
+      'DoubleRes_1': _plain_double_res(sd, 'pressurenet.first', used,
+                                       ff, ch[0])}
+  for i in range(L - 1):   # down.{i} = Sequential(MaxPool2d, double_res)
+    pn[f'DoubleRes_{2 + i}'] = _plain_double_res(
+        sd, f'pressurenet.down.{i}.1', used, ch[i], ch[i + 1])
+  for i, ch_o in enumerate(ch[-2::-1]):
+    pn[f'ConvTranspose_{i}'] = _conv_transpose(
+        sd, f'pressurenet.up.{i}.0', used)
+    pn[f'DoubleRes_{L + 1 + i}'] = _plain_double_res(
+        sd, f'pressurenet.up_conv.{i}', used, ch_o * 2 + ff, ch_o)
+  pn[f'DoubleRes_{2 * L}'] = _plain_double_res(sd, 'pressurenet.end.0', used,
+                                               ch[0], ch[0] // 2)
+  pn['Conv_0'] = _conv(sd, 'pressurenet.end.1', used)
+  pn[f'DoubleRes_{2 * L + 1}'] = _plain_double_res(sd, 'pressurenet.end.2',
+                                                   used, ch[0] // 2, 1)
+  pn['Conv_1'] = _conv(sd, 'pressurenet.end.3', used)
+
+  unconsumed = sorted(k for k in sd if k not in used)
+  if unconsumed:
+    raise ValueError(
+        'torch state_dict keys not consumed by the PINN layout '
+        f'(checkpoint/config mismatch?): {unconsumed[:8]}'
+        f'{" ..." if len(unconsumed) > 8 else ""}')
+  return {'flownet': flownet, 'pressurenet': pn}
+
+
+def convert_reference_pinn_checkpoint(ckpt: Any, config,
+                                      tx: Optional[Any] = None):
+  """Full reference PINN checkpoint -> ``TrainState``.
+
+  ``ckpt`` is the ``info=0`` dual-optimizer payload (reference
+  utils.py:48-54: 'model', 'ema', 'step', 'optimizer_1'/'optimizer_2').
+  Both torch optimizer states are dropped for a fresh dual-LR optimizer
+  (pinn/losses.get_pinn_optimizer; torch Adam moments are layout-coupled,
+  see the module docstring)."""
+  import jax.numpy as jnp
+
+  from b_pinn_kalman_filter_tpu.train import state as state_lib
+
+  if isinstance(ckpt, (str, os.PathLike)):
+    import torch
+    ckpt = torch.load(ckpt, map_location='cpu', weights_only=False)
+  if ckpt.get('info', 0) != 0:
+    raise ValueError('info!=0 is the single-optimizer score-model layout; '
+                     'use convert_reference_checkpoint')
+
+  sd = strip_module_prefix(ckpt['model'])
+  params = pinn_params_from_torch_state_dict(sd, config)
+  if ckpt.get('ema') is not None:
+    ema_sd = substitute_ema_shadow(sd, ckpt['ema'])
+    ema_params = pinn_params_from_torch_state_dict(ema_sd, config)
+  else:
+    ema_params = jax.tree_util.tree_map(np.copy, params)
+
+  if tx is None:
+    from b_pinn_kalman_filter_tpu.pinn import losses as pinn_losses
+    tx = pinn_losses.get_pinn_optimizer(config)
+
+  state = state_lib.create_train_state(params, tx, config.model.ema_rate)
+  return state.replace(step=jnp.asarray(int(ckpt.get('step', 0)), jnp.int32),
+                       ema_params=ema_params)
+
+
 def mlp_params_from_torch_state_dict(state_dict: Dict[str, Any], config,
                                      shape: Sequence[int] = (1, 3, 3, 1)
                                      ) -> Dict[str, Any]:

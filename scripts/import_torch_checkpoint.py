@@ -19,9 +19,11 @@ weights up directly:
 Score-model checkpoints convert (``info == 1`` layout) for every registered
 family with a converter: ddpm, mlp, ncsnpp, and the ncsnv2_64/128/256
 RefineNet models — dispatch is on ``config.model.name``
-(models/torch_port.convert_reference_checkpoint).  The torch optimizer
-moments are layout-coupled and are replaced by a fresh optimizer state (see
-models/torch_port.py docstring).
+(models/torch_port.convert_reference_checkpoint).  PINN checkpoints (the
+``info == 0`` dual-optimizer layout, reference utils.py:48-54) are detected
+from the payload and convert via convert_reference_pinn_checkpoint.  Torch
+optimizer moments are layout-coupled and are replaced by a fresh optimizer
+state in both cases (see models/torch_port.py docstring).
 """
 
 import os
@@ -54,7 +56,14 @@ def main(argv):
   from b_pinn_kalman_filter_tpu.train import checkpoint as ckpt_lib
 
   config = FLAGS.config
-  state = torch_port.convert_reference_checkpoint(FLAGS.torch_ckpt, config)
+  # Dispatch on the saved layout flag (reference utils.py:48-58): info=0 is
+  # the dual-optimizer PINN payload, info=1 (or absent) a score model.
+  import torch
+  ckpt = torch.load(FLAGS.torch_ckpt, map_location="cpu", weights_only=False)
+  if ckpt.get("info", 1) == 0:
+    state = torch_port.convert_reference_pinn_checkpoint(ckpt, config)
+  else:
+    state = torch_port.convert_reference_checkpoint(ckpt, config)
   state = jax.device_get(state)
   step = int(state.step)
 
