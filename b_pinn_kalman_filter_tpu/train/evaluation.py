@@ -49,8 +49,14 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray) -> float:
 
 def kernel_distance(feats1: np.ndarray, feats2: np.ndarray,
                     degree: int = 3, gamma: Optional[float] = None,
-                    coef0: float = 1.0) -> float:
-  """KID: polynomial-kernel MMD^2 (unbiased) between feature sets."""
+                    coef0: float = 1.0, block: int = 4096) -> float:
+  """KID: polynomial-kernel MMD^2 (unbiased) between feature sets.
+
+  Computed EXACTLY but blockwise: at the 50k-FID protocol scale a
+  monolithic ``k(x, x)`` is a 50000^2 float64 allocation (~20 GB); the
+  three Gram-sum terms decompose over block pairs with identical values
+  and O(block^2) memory.
+  """
   x = np.asarray(feats1, np.float64)
   y = np.asarray(feats2, np.float64)
   d = x.shape[1]
@@ -60,13 +66,20 @@ def kernel_distance(feats1: np.ndarray, feats2: np.ndarray,
   def k(a, b):
     return (gamma * a @ b.T + coef0) ** degree
 
-  kxx = k(x, x)
-  kyy = k(y, y)
-  kxy = k(x, y)
+  def gram_sum(a, b):
+    total = 0.0
+    for i in range(0, a.shape[0], block):
+      for j in range(0, b.shape[0], block):
+        total += k(a[i:i + block], b[j:j + block]).sum()
+    return total
+
+  def diag_sum(a):
+    return float((gamma * (a * a).sum(axis=1) + coef0).__pow__(degree).sum())
+
   n, m = x.shape[0], y.shape[0]
-  sum_xx = (kxx.sum() - np.trace(kxx)) / (n * (n - 1))
-  sum_yy = (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
-  sum_xy = kxy.mean()
+  sum_xx = (gram_sum(x, x) - diag_sum(x)) / (n * (n - 1))
+  sum_yy = (gram_sum(y, y) - diag_sum(y)) / (m * (m - 1))
+  sum_xy = gram_sum(x, y) / (n * m)
   return float(sum_xx + sum_yy - 2 * sum_xy)
 
 
