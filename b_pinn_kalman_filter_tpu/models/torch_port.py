@@ -518,8 +518,10 @@ def _ncsnv2_refine_block(sd, p, used, n_inputs, end):
   return blk
 
 
-def _ncsnv2_layout(config):
+def _ncsnv2_layout(config, force_small: bool = False):
   """(res_blocks, refines) for the size-dispatched NCSNv2 variant.
+  ``force_small`` pins the <96px topology (the class-conditional NCSN v1
+  uses it at any size, reference ncsnv2.py:136-199).
 
   res_blocks: ``(torch_prefix, resample, dilation, in_eq_out, adjust)`` in
   flax creation order; refines: ``(torch_attr, n_inputs, end)``.  Mirrors
@@ -529,6 +531,8 @@ def _ncsnv2_layout(config):
   is what flax auto-naming follows.
   """
   size = config.data.image_size
+  if force_small and size >= 96:
+    size = 32   # keep the real size below 96 so the ==28 adjust check holds
   pair = lambda name, resample=None, dil=1, eq=True, adj=False: [
       (f'{name}.0', resample, dil, eq, adj), (f'{name}.1', None, dil, True,
                                               False)]
@@ -588,6 +592,118 @@ def ncsnv2_params_from_torch_state_dict(state_dict: Dict[str, Any],
   if unconsumed:
     raise ValueError(
         'torch state_dict keys not consumed by the NCSNv2 layout '
+        f'(checkpoint/config mismatch?): {unconsumed[:8]}'
+        f'{" ..." if len(unconsumed) > 8 else ""}')
+  return params
+
+
+def _cond_in_plus(sd, prefix, used):
+  """ConditionalInstanceNorm2dPlus (reference normalization.py:186-215):
+  one nn.Embedding 'embed.weight' (num_classes, 3C) -> flax
+  {'Embed_0': {'embedding'}} with the same [gamma, alpha, beta] chunking."""
+  used.add(prefix + '.embed.weight')
+  return {'Embed_0': {'embedding': _np(sd[prefix + '.embed.weight'])}}
+
+
+def _ncsn_cond_residual_block(sd, p, used, resample, dilation,
+                              adjust_padding=False):
+  """ConditionalResidualBlock (reference layers.py:382-435) -> flax
+  layers_ncsn.ConditionalResidualBlock scope.  Same conv topology as the
+  unconditional block; the norms are embeddings.  (The reference's own
+  class cannot be constructed — ``dilation=None`` defaults make every
+  ``dilation > 1`` comparison a TypeError and the dilated convs carry the
+  padding=1 bug — see tests/torch_ncsnv2_oracle.py; keys are unaffected.)"""
+  blk = {'ConditionalInstanceNorm2dPlus_0':
+             _cond_in_plus(sd, p + '.normalize1', used),
+         'ConditionalInstanceNorm2dPlus_1':
+             _cond_in_plus(sd, p + '.normalize2', used)}
+
+  def ncsn_conv(prefix):
+    return {'Conv_0': _conv(sd, prefix, used)}
+
+  if resample == 'down':
+    blk['NCSNConv_0'] = ncsn_conv(p + '.conv1')
+    if dilation > 1:
+      blk['NCSNConv_1'] = ncsn_conv(p + '.conv2')
+      blk['NCSNConv_2'] = ncsn_conv(p + '.shortcut')
+    else:
+      cm = '.conv.1' if adjust_padding else '.conv'
+      blk['ConvMeanPool_0'] = {'NCSNConv_0': ncsn_conv(p + '.conv2' + cm)}
+      blk['ConvMeanPool_1'] = {'NCSNConv_0': ncsn_conv(p + '.shortcut' + cm)}
+  else:
+    blk['NCSNConv_0'] = ncsn_conv(p + '.conv1')
+    blk['NCSNConv_1'] = ncsn_conv(p + '.conv2')
+    if p + '.shortcut.weight' in sd:   # only when dims differ (dilated 3x3)
+      blk['NCSNConv_2'] = ncsn_conv(p + '.shortcut')
+  return blk
+
+
+def _ncsn_cond_rcu(sd, p, used, n_blocks, n_stages=2):
+  """CondRCUBlock (reference layers.py:197-221): setattr pairs
+  '{i}_{j}_norm' / '{i}_{j}_conv'; flax interleaves the same order."""
+  out, k = {}, 0
+  for i in range(n_blocks):
+    for j in range(n_stages):
+      out[f'ConditionalInstanceNorm2dPlus_{k}'] = _cond_in_plus(
+          sd, f'{p}.{i + 1}_{j + 1}_norm', used)
+      out[f'NCSNConv_{k}'] = {
+          'Conv_0': _conv(sd, f'{p}.{i + 1}_{j + 1}_conv', used)}
+      k += 1
+  return out
+
+
+def _ncsn_cond_convlist(sd, p, used, n):
+  """CondCRP/CondMSF (reference layers.py:147-170, :243-264): paired
+  ModuleLists 'norms.{i}' / 'convs.{i}'."""
+  out = {}
+  for i in range(n):
+    out[f'ConditionalInstanceNorm2dPlus_{i}'] = _cond_in_plus(
+        sd, f'{p}.norms.{i}', used)
+    out[f'NCSNConv_{i}'] = {'Conv_0': _conv(sd, f'{p}.convs.{i}', used)}
+  return out
+
+
+def _ncsn_cond_refine_block(sd, p, used, n_inputs, end):
+  """CondRefineBlock (reference layers.py:303-336)."""
+  blk = {}
+  for i in range(n_inputs):
+    blk[f'CondRCUBlock_{i}'] = _ncsn_cond_rcu(sd, f'{p}.adapt_convs.{i}',
+                                              used, 2)
+  if n_inputs > 1:
+    blk['CondMSFBlock_0'] = _ncsn_cond_convlist(sd, f'{p}.msf', used,
+                                                n_inputs)
+  blk['CondCRPBlock_0'] = _ncsn_cond_convlist(sd, f'{p}.crp', used, 2)
+  blk[f'CondRCUBlock_{n_inputs}'] = _ncsn_cond_rcu(
+      sd, f'{p}.output_convs', used, 3 if end else 1)
+  return blk
+
+
+def ncsn_params_from_torch_state_dict(state_dict: Dict[str, Any],
+                                      config) -> Dict[str, Any]:
+  """Reference class-conditional NCSN (v1) state_dict -> flax params
+  (reference models/ncsnv2.py:136-218 — same stage/refine topology as the
+  <96px NCSNv2, with conditional blocks and embedding norms)."""
+  state_dict = strip_module_prefix(state_dict)
+  used: set = set()
+  params: Dict[str, Any] = {
+      'NCSNConv_0': {'Conv_0': _conv(state_dict, 'begin_conv', used)}}
+
+  res_blocks, refines = _ncsnv2_layout(config, force_small=True)
+  for i, (tp, resample, dil, _eq, adj) in enumerate(res_blocks):
+    params[f'ConditionalResidualBlock_{i}'] = _ncsn_cond_residual_block(
+        state_dict, tp, used, resample, dil, adj)
+  for j, (tp, n_inputs, end) in enumerate(refines):
+    params[f'CondRefineBlock_{j}'] = _ncsn_cond_refine_block(
+        state_dict, tp, used, n_inputs, end)
+  params['ConditionalInstanceNorm2dPlus_0'] = _cond_in_plus(
+      state_dict, 'normalizer', used)
+  params['NCSNConv_1'] = {'Conv_0': _conv(state_dict, 'end_conv', used)}
+
+  unconsumed = sorted(k for k in state_dict
+                      if k != 'sigmas' and k not in used)
+  if unconsumed:
+    raise ValueError(
+        'torch state_dict keys not consumed by the NCSN layout '
         f'(checkpoint/config mismatch?): {unconsumed[:8]}'
         f'{" ..." if len(unconsumed) > 8 else ""}')
   return params
@@ -658,9 +774,16 @@ def pinn_params_from_torch_state_dict(state_dict: Dict[str, Any],
   :112-117 skips it when flow is None), so its parameters are consumed and
   dropped — our flax Matching only creates the module when it is used.
   """
-  if getattr(config.model, 'name', 'flownet') == 'liteflownet':
-    raise ValueError('LiteFlowNet-based PINN checkpoints are not supported '
-                     'by this converter (pyramid FlowNet only)')
+  if getattr(config.model, 'arch', 'flownet') != 'flownet':
+    # The PINN flownet is selected by config.model.arch (reference
+    # pinn_kalman/pinn.py:20-30).  Only the pyramid FlowNet converts; note
+    # the reference's own liteflownet-PINN path cannot produce checkpoints
+    # anyway — LiteFlowNet.forward takes (f1, f2, coord, t) while PINN
+    # calls flownet(f1, f2, x, y, t, size=...) (models/liteflownet.py
+    # docstring documents the signature mismatch).
+    raise ValueError(
+        f"PINN converter supports arch='flownet' only, got "
+        f"'{config.model.arch}'")
   sd = strip_module_prefix(state_dict)
   used: set = set()
   L = len(config.model.feature_nums)
@@ -863,6 +986,8 @@ def convert_reference_checkpoint(ckpt: Any, config,
       ema_exclude = ('all_modules.0.W',)
   elif config.model.name in ('ncsnv2_64', 'ncsnv2_128', 'ncsnv2_256'):
     convert = lambda d: ncsnv2_params_from_torch_state_dict(d, config)
+  elif config.model.name == 'ncsn':
+    convert = lambda d: ncsn_params_from_torch_state_dict(d, config)
   else:
     convert = lambda d: ddpm_params_from_torch_state_dict(d, config)
   params = convert(sd)

@@ -95,6 +95,6 @@ def test_pinn_converter_rejects_wrong_layout():
   with pytest.raises(ValueError, match='info'):
     torch_port.convert_reference_pinn_checkpoint(
         {'info': 1, 'model': {}}, config)
-  config.model.name = 'liteflownet'
-  with pytest.raises(ValueError, match='LiteFlowNet'):
+  config.model.arch = 'liteflownet'
+  with pytest.raises(ValueError, match="arch='flownet'"):
     torch_port.pinn_params_from_torch_state_dict({}, config)

@@ -268,3 +268,215 @@ class TorchNCSNv2(nn.Module):
     out = self.end_conv(F.elu(self.normalizer(ref)))
     used = self.sigmas[y].view(x.shape[0], 1, 1, 1)
     return out / used
+
+
+# ---------------------------------------------------------------------------
+# Class-conditional NCSN v1 (reference ncsnv2.py:136-218; the conditional
+# layer family reference layers.py:147-336 + normalization.py:186-215).
+# The reference's own ConditionalResidualBlock cannot even be CONSTRUCTED:
+# its ``dilation=None`` default makes every ``dilation > 1`` comparison a
+# TypeError (layers.py:384,392) — on top of the padding-under-dilation bug
+# above.  Same functional-convention rules as the unconditional oracle.
+# ---------------------------------------------------------------------------
+
+
+class ConditionalInstanceNorm2dPlus(nn.Module):
+  """Reference normalization.py:186-215 (embedding -> gamma/alpha/beta)."""
+
+  def __init__(self, num_features, num_classes, bias=True):
+    super().__init__()
+    self.num_features = num_features
+    self.use_bias = bias
+    if bias:
+      self.embed = nn.Embedding(num_classes, num_features * 3)
+      self.embed.weight.data[:, :2 * num_features].normal_(1, 0.02)
+      self.embed.weight.data[:, 2 * num_features:].zero_()
+    else:
+      self.embed = nn.Embedding(num_classes, 2 * num_features)
+      self.embed.weight.data.normal_(1, 0.02)
+
+  def forward(self, x, y):
+    means = x.mean(dim=(2, 3))
+    m = means.mean(dim=-1, keepdim=True)
+    v = means.var(dim=-1, keepdim=True)
+    means = (means - m) / torch.sqrt(v + 1e-5)
+    inst_m = x.mean(dim=(2, 3), keepdim=True)
+    inst_v = x.var(dim=(2, 3), keepdim=True, unbiased=False)
+    h = (x - inst_m) / torch.sqrt(inst_v + 1e-5)
+    if self.use_bias:
+      gamma, alpha, beta = self.embed(y).chunk(3, dim=-1)
+    else:
+      gamma, alpha = self.embed(y).chunk(2, dim=-1)
+      beta = None
+    h = h + means[..., None, None] * alpha[..., None, None]
+    out = gamma[..., None, None] * h
+    if beta is not None:
+      out = out + beta[..., None, None]
+    return out
+
+
+class ConditionalResidualBlock(nn.Module):
+  """Reference layers.py:382-435 (same conv topology as ResidualBlock,
+  embedding norms)."""
+
+  def __init__(self, cin, cout, num_classes, resample=None, dilation=1,
+               adjust_padding=False):
+    super().__init__()
+    self.cin, self.cout, self.resample = cin, cout, resample
+    if resample == 'down':
+      if dilation > 1:
+        self.conv1 = conv3x3(cin, cin, dilation=dilation)
+        self.normalize2 = ConditionalInstanceNorm2dPlus(cin, num_classes)
+        self.conv2 = conv3x3(cin, cout, dilation=dilation)
+        self.shortcut = conv3x3(cin, cout, dilation=dilation)
+      else:
+        self.conv1 = conv3x3(cin, cin)
+        self.normalize2 = ConditionalInstanceNorm2dPlus(cin, num_classes)
+        self.conv2 = ConvMeanPool(cin, cout, 3, adjust_padding)
+        self.shortcut = ConvMeanPool(cin, cout, 1, adjust_padding)
+    else:
+      self.conv1 = conv3x3(cin, cout, dilation=dilation)
+      self.normalize2 = ConditionalInstanceNorm2dPlus(cout, num_classes)
+      self.conv2 = conv3x3(cout, cout, dilation=dilation)
+      if cin != cout:
+        self.shortcut = conv3x3(cin, cout, dilation=dilation)
+    self.normalize1 = ConditionalInstanceNorm2dPlus(cin, num_classes)
+
+  def forward(self, x, y):
+    h = F.elu(self.normalize1(x, y))
+    h = self.conv1(h)
+    h = F.elu(self.normalize2(h, y))
+    h = self.conv2(h)
+    if self.cin == self.cout and self.resample is None:
+      return x + h
+    return self.shortcut(x) + h
+
+
+class CondRCUBlock(nn.Module):
+  """Reference layers.py:197-221 ('{i}_{j}_norm'/'{i}_{j}_conv' pairs)."""
+
+  def __init__(self, features, n_blocks, num_classes, n_stages=2,
+               act=F.elu):
+    super().__init__()
+    self.n_blocks, self.n_stages, self.act = n_blocks, n_stages, act
+    for i in range(n_blocks):
+      for j in range(n_stages):
+        setattr(self, f'{i + 1}_{j + 1}_norm',
+                ConditionalInstanceNorm2dPlus(features, num_classes))
+        setattr(self, f'{i + 1}_{j + 1}_conv',
+                conv3x3(features, features, bias=False))
+
+  def forward(self, x, y):
+    for i in range(self.n_blocks):
+      residual = x
+      for j in range(self.n_stages):
+        x = getattr(self, f'{i + 1}_{j + 1}_norm')(x, y)
+        x = getattr(self, f'{i + 1}_{j + 1}_conv')(self.act(x))
+      x = x + residual
+    return x
+
+
+class CondCRPBlock(nn.Module):
+  """Reference layers.py:147-170 (norm -> 5x5 AVG pool -> conv)."""
+
+  def __init__(self, features, num_classes, n_stages=2, act=F.elu):
+    super().__init__()
+    self.act = act
+    self.norms = nn.ModuleList(
+        [ConditionalInstanceNorm2dPlus(features, num_classes)
+         for _ in range(n_stages)])
+    self.convs = nn.ModuleList(
+        [conv3x3(features, features, bias=False) for _ in range(n_stages)])
+
+  def forward(self, x, y):
+    x = self.act(x)
+    path = x
+    for norm, conv in zip(self.norms, self.convs):
+      path = conv(F.avg_pool2d(norm(path, y), 5, stride=1, padding=2,
+                               count_include_pad=True))
+      x = path + x
+    return x
+
+
+class CondMSFBlock(nn.Module):
+  """Reference layers.py:243-264 (norm before conv, then fuse)."""
+
+  def __init__(self, in_planes, features, num_classes):
+    super().__init__()
+    self.features = features
+    self.norms = nn.ModuleList(
+        [ConditionalInstanceNorm2dPlus(c, num_classes) for c in in_planes])
+    self.convs = nn.ModuleList(
+        [conv3x3(c, features, bias=True) for c in in_planes])
+
+  def forward(self, xs, y, shape):
+    total = torch.zeros(xs[0].shape[0], self.features, *shape)
+    for norm, conv, x in zip(self.norms, self.convs, xs):
+      total = total + F.interpolate(conv(norm(x, y)), size=shape,
+                                    mode='bilinear', align_corners=True)
+    return total
+
+
+class CondRefineBlock(nn.Module):
+  """Reference layers.py:303-336."""
+
+  def __init__(self, in_planes, features, num_classes, start=False,
+               end=False, act=F.elu):
+    super().__init__()
+    self.n = len(in_planes)
+    self.adapt_convs = nn.ModuleList(
+        [CondRCUBlock(c, 2, num_classes, act=act) for c in in_planes])
+    self.output_convs = CondRCUBlock(features, 3 if end else 1, num_classes,
+                                     act=act)
+    if not start:
+      self.msf = CondMSFBlock(in_planes, features, num_classes)
+    self.crp = CondCRPBlock(features, num_classes, act=act)
+
+  def forward(self, xs, y, output_shape):
+    hs = [rcu(x, y) for rcu, x in zip(self.adapt_convs, xs)]
+    h = self.msf(hs, y, output_shape) if self.n > 1 else hs[0]
+    return self.output_convs(self.crp(h, y), y)
+
+
+class TorchNCSN(nn.Module):
+  """Class-conditional NCSN v1 oracle (reference ncsnv2.py:136-218) —
+  always the <96px four-stage topology; no sigma division at the end."""
+
+  def __init__(self, config):
+    super().__init__()
+    nf = config.model.nf
+    K = config.model.num_scales
+    C = config.data.num_channels
+    size = config.data.image_size
+    self.centered = config.data.centered
+    self.begin_conv = nn.Conv2d(C, nf, 3, padding=1)
+    self.normalizer = ConditionalInstanceNorm2dPlus(nf, K)
+    self.end_conv = nn.Conv2d(nf, C, 3, padding=1)
+
+    def stage(cin, cout, resample, dil, adj=False):
+      return nn.ModuleList([
+          ConditionalResidualBlock(cin, cout, K, resample, dil, adj),
+          ConditionalResidualBlock(cout, cout, K, None, dil)])
+
+    self.res1 = stage(nf, nf, None, 1)
+    self.res2 = stage(nf, 2 * nf, 'down', 1)
+    self.res3 = stage(2 * nf, 2 * nf, 'down', 2)
+    self.res4 = stage(2 * nf, 2 * nf, 'down', 4, size == 28)
+    self.refine1 = CondRefineBlock([2 * nf], 2 * nf, K, start=True)
+    self.refine2 = CondRefineBlock([2 * nf, 2 * nf], 2 * nf, K)
+    self.refine3 = CondRefineBlock([2 * nf, 2 * nf], nf, K)
+    self.refine4 = CondRefineBlock([nf, nf], nf, K, end=True)
+
+  def forward(self, x, y):
+    h = x if self.centered else 2 * x - 1.
+    out = self.begin_conv(h)
+    outs = []
+    for name in ('res1', 'res2', 'res3', 'res4'):
+      for blk in getattr(self, name):
+        out = blk(out, y)
+      outs.append(out)
+    ref = self.refine1([outs[3]], y, outs[3].shape[2:])
+    ref = self.refine2([outs[2], ref], y, outs[2].shape[2:])
+    ref = self.refine3([outs[1], ref], y, outs[1].shape[2:])
+    ref = self.refine4([outs[0], ref], y, outs[0].shape[2:])
+    return self.end_conv(F.elu(self.normalizer(ref, y)))
