@@ -24,7 +24,13 @@ Array = jax.Array
 
 
 def get_flow_model(config):
-  """Architecture dispatch (reference pinn.py:20-30)."""
+  """Architecture dispatch (reference pinn.py:20-30).
+
+  'unet' (= the DDPM U-Net, reference models/ddpm.py:183 ``UNet = DDPM``)
+  and 'mlp' construct for dispatch parity, but neither matches the
+  ``(f1, f2, x, y, t, size)`` call signature PINN uses — the reference
+  crashes identically at pinn.py:64 on these branches; only
+  flownet/liteflownet compose."""
   arch = config.model.arch
   if arch == 'flownet':
     return FlowNet(config)
@@ -32,8 +38,10 @@ def get_flow_model(config):
     from b_pinn_kalman_filter_tpu.models.liteflownet import LiteFlowNet
     return LiteFlowNet(config)
   elif arch == 'unet':
-    return UNet(config)
+    from b_pinn_kalman_filter_tpu.models.ddpm import DDPM
+    return DDPM(config)
   elif arch == 'mlp':
+    from b_pinn_kalman_filter_tpu.models.ddpm import MLP
     return MLP(config)
   raise NotImplementedError
 
