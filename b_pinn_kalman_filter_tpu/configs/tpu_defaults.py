@@ -53,6 +53,11 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
     config.sampling.dpm_order = 2       # 1 = DDIM, 2 = multistep 2M
     config.sampling.dpm_skip = 'logsnr' # or 'time' (= PC grid spacing)
     config.sampling.pc_chunks = 0       # 0 = single-dispatch PC scan
+  if 'eval' in config:
+    # FID/KID reference-set size (run_lib.evaluate); declared so
+    # `--config.eval.num_ref_images=...` works through the locked CLI.
+    # The 50k-protocol chip run used 10000 (the full CIFAR eval split).
+    config.eval.num_ref_images = 2048
   return config
 
 
