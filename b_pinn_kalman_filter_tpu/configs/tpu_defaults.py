@@ -58,6 +58,10 @@ def add_tpu_defaults(config: ml_collections.ConfigDict) -> ml_collections.Config
     # `--config.eval.num_ref_images=...` works through the locked CLI.
     # The 50k-protocol chip run used 10000 (the full CIFAR eval split).
     config.eval.num_ref_images = 2048
+    # Use the full InceptionV3 architecture with seed-fixed random weights
+    # when no pretrained weights exist (labeled inception_v3_random_proxy);
+    # default False = the small random-CNN proxy.
+    config.eval.inception_random_init = False
   return config
 
 

@@ -460,7 +460,10 @@ def _ncsnv2_residual_block(sd, p, used, resample, dilation, in_eq_out,
   flax auto-names follow CALL order (normalize1, conv1, normalize2, conv2,
   shortcut).  ConvMeanPool nests its conv under ``.conv`` — or ``.conv.1``
   when adjust_padding wraps it in Sequential(ZeroPad2d, conv) (reference
-  layers.py:339-349).
+  layers.py:339-349).  The ``.conv.1`` branch is defensive-only: no real
+  reference checkpoint reaches it — every ctor that passes
+  adjust_padding=True (the 28px res4) also passes dilation=4, and the
+  block only consults adjust_padding when dilation==1 (layers.py:448-457).
   """
   blk = {'InstanceNorm2dPlus_0': _in_plus(sd, p + '.normalize1', used),
          'InstanceNorm2dPlus_1': _in_plus(sd, p + '.normalize2', used)}

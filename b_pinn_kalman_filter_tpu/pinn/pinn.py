@@ -38,10 +38,8 @@ def get_flow_model(config):
     from b_pinn_kalman_filter_tpu.models.liteflownet import LiteFlowNet
     return LiteFlowNet(config)
   elif arch == 'unet':
-    from b_pinn_kalman_filter_tpu.models.ddpm import DDPM
-    return DDPM(config)
+    return UNet(config)
   elif arch == 'mlp':
-    from b_pinn_kalman_filter_tpu.models.ddpm import MLP
     return MLP(config)
   raise NotImplementedError
 

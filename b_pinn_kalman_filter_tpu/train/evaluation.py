@@ -73,12 +73,22 @@ def kernel_distance(feats1: np.ndarray, feats2: np.ndarray,
         total += k(a[i:i + block], b[j:j + block]).sum()
     return total
 
+  def gram_sum_sym(a):
+    # Symmetric Gram: visit only j >= i block pairs, double off-diagonals —
+    # halves the dominant 50k^2-scale matmul cost vs the plain double loop.
+    total = 0.0
+    for i in range(0, a.shape[0], block):
+      for j in range(i, a.shape[0], block):
+        s = k(a[i:i + block], a[j:j + block]).sum()
+        total += s if j == i else 2.0 * s
+    return total
+
   def diag_sum(a):
     return float((gamma * (a * a).sum(axis=1) + coef0).__pow__(degree).sum())
 
   n, m = x.shape[0], y.shape[0]
-  sum_xx = (gram_sum(x, x) - diag_sum(x)) / (n * (n - 1))
-  sum_yy = (gram_sum(y, y) - diag_sum(y)) / (m * (m - 1))
+  sum_xx = (gram_sum_sym(x) - diag_sum(x)) / (n * (n - 1))
+  sum_yy = (gram_sum_sym(y) - diag_sum(y)) / (m * (m - 1))
   sum_xy = gram_sum(x, y) / (n * m)
   return float(sum_xx + sum_yy - 2 * sum_xy)
 
@@ -120,7 +130,7 @@ def make_random_feature_fn(rng: Array, image_shape: Tuple[int, int, int],
   w4 = jax.random.normal(k4, (feature_dim, logits_dim)) / np.sqrt(feature_dim)
 
   @jax.jit
-  def feature_fn(images):
+  def fwd(images):
     h = images * 2.0 - 1.0
     for w in (w1, w2, w3):
       h = jax.lax.conv_general_dilated(
@@ -129,6 +139,26 @@ def make_random_feature_fn(rng: Array, image_shape: Tuple[int, int, int],
     pool = jnp.mean(h, axis=(1, 2))
     logits = pool @ w4
     return pool, logits
+
+  def feature_fn(images, batch: int = 1024):
+    # Chunk protocol-scale inputs like make_inception_feature_fn so callers
+    # can pass whole image sets (zero-padded tail -> one compiled shape).
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    if n <= batch:
+      return fwd(images)
+    pools, logits = [], []
+    for i in range(0, n, batch):
+      chunk = images[i:i + batch]
+      valid = chunk.shape[0]
+      if valid < batch:
+        pad = jnp.zeros((batch - valid,) + tuple(chunk.shape[1:]),
+                        chunk.dtype)
+        chunk = jnp.concatenate([chunk, pad])
+      p, l = fwd(chunk)
+      pools.append(np.asarray(p)[:valid])
+      logits.append(np.asarray(l)[:valid])
+    return np.concatenate(pools), np.concatenate(logits)
 
   return feature_fn
 
@@ -156,7 +186,9 @@ def get_feature_extractor(config=None) -> Tuple[Callable, str]:
   params = inception.load_inception_params()
   if params is not None:
     return inception.make_inception_feature_fn(params), 'inception_v3'
-  if os.environ.get('BPKF_INCEPTION_RANDOM_INIT'):
+  random_init = (config is not None and 'eval' in config
+                 and config.eval.get('inception_random_init', False))
+  if random_init or os.environ.get('BPKF_INCEPTION_RANDOM_INIT'):
     # Protocol-scale proxy: the REAL InceptionV3 architecture (299^2 resize,
     # full conv stack, pool3-2048 features) with seed-fixed random weights.
     # Exercises the true compute/memory path of the FID protocol in this
@@ -182,8 +214,10 @@ def load_dataset_stats(config, eval_ds, feature_fn: Callable, source: str,
   computed once from the eval split and cached)."""
   import os
   os.makedirs(stats_dir, exist_ok=True)
+  # max_images is part of the cache identity: a stale smaller/larger
+  # reference set must not silently answer a different num_ref_images.
   tag = (f"{config.data.dataset}_{config.data.image_size}"
-         f"_{config.data.num_channels}_{source}")
+         f"_{config.data.num_channels}_{source}_{max_images}")
   cache = os.path.join(stats_dir, f'dataset_feats_{tag}.npz')
   if os.path.exists(cache):
     return np.load(cache)['feats']
@@ -196,26 +230,26 @@ def load_dataset_stats(config, eval_ds, feature_fn: Callable, source: str,
     if count >= max_images:
       break
   images = np.concatenate(images)[:max_images]
-  pools = []
-  for i in range(0, len(images), 128):
-    p, _ = feature_fn(jnp.asarray(images[i:i + 128]))
-    pools.append(np.asarray(p))
-  feats = np.concatenate(pools)
+  # One feature_fn call: it streams fixed-shape chunks internally (the tail
+  # is zero-padded to the compiled shape), so pre-chunking here would only
+  # add a second ragged-shape program — minutes per compile on the tunnel.
+  feats, _ = feature_fn(jnp.asarray(images))
+  feats = np.asarray(feats)
   np.savez_compressed(cache, feats=feats)
   return feats
 
 
 def compute_metrics(feature_fn: Callable, samples: np.ndarray,
-                    reference: np.ndarray, batch: int = 256) -> dict:
-  """FID/KID/IS between sample and reference image sets (both in [0,1])."""
+                    reference: np.ndarray) -> dict:
+  """FID/KID/IS between sample and reference image sets (both in [0,1]).
+
+  feature_fn chunks internally (make_inception_feature_fn / the proxy's
+  whole-batch jit), so no caller-side pre-chunking: ragged pre-chunks
+  would each compile a separate program on the remote-compile tunnel."""
 
   def feats(images):
-    pools, logits = [], []
-    for i in range(0, len(images), batch):
-      p, l = feature_fn(jnp.asarray(images[i:i + batch], jnp.float32))
-      pools.append(np.asarray(p))
-      logits.append(np.asarray(l))
-    return np.concatenate(pools), np.concatenate(logits)
+    p, l = feature_fn(jnp.asarray(images, jnp.float32))
+    return np.asarray(p), np.asarray(l)
 
   sp, sl = feats(samples)
   rp, _ = feats(reference)

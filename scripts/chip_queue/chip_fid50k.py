@@ -63,6 +63,7 @@ config.eval.enable_sampling = True
 config.eval.num_samples = NUM_SAMPLES
 config.eval.batch_size = BATCH
 config.eval.num_ref_images = int(os.environ.get('FID_REF_IMAGES', '10000'))
+config.eval.inception_random_init = True  # declared switch (env is fallback)
 config.sampling.method = 'dpm_solver'
 if os.environ.get('FID_TINY'):  # CPU wiring dry-run: shrink the model
   config.model.nf = 32
@@ -92,12 +93,18 @@ results = run_lib.evaluate(config, WORKDIR, eval_folder="eval")
 wall = time.time() - t0
 peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
+def _fmt(v):
+  # results keys can be absent (e.g. a corrupt staged checkpoint makes
+  # evaluate() skip ckpt_1); never let the final status line raise.
+  return f"{v:.5g}" if isinstance(v, float) else str(v)
+
+
 print("results:", {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in results.items()}, flush=True)
 print(f"FID50K_CHIP_OK wall={wall:.0f}s samples={NUM_SAMPLES} "
       f"batch={BATCH} rounds={NUM_SAMPLES // BATCH + 1} "
       f"peak_host_rss={peak_rss_gb:.2f}GB "
       f"features={results.get('feature_source')} "
-      f"fid={results.get('ckpt_1_fid'):.2f} "
-      f"kid={results.get('ckpt_1_kid'):.5f} "
-      f"is={results.get('ckpt_1_inception_score'):.3f}", flush=True)
+      f"fid={_fmt(results.get('ckpt_1_fid'))} "
+      f"kid={_fmt(results.get('ckpt_1_kid'))} "
+      f"is={_fmt(results.get('ckpt_1_inception_score'))}", flush=True)

@@ -69,8 +69,12 @@ def test_ncsnv2_64_parity():
 
 
 def test_ncsnv2_64_adjust_padding_28():
-  """image_size=28 triggers adjust_padding in res4's ConvMeanPool
-  (reference ncsnv2.py:80-87) — the ZeroPad2d-Sequential '.conv.1' keys."""
+  """The 28px (MNIST) topology.  Note adjust_padding=True is passed to
+  res4 there (reference ncsnv2.py:80-87) but res4 has dilation=4, and the
+  reference ResidualBlock only consults adjust_padding in its dilation==1
+  'down' branch (layers.py:448-457) — so no real checkpoint ever contains
+  the ZeroPad2d '.conv.1' keys; this pins the 28px parity, and the
+  converter's '.conv.1' mapping is defensive-only."""
   _parity(_config(image_size=28, nf=4))
 
 
