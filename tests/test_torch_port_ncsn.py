@@ -62,3 +62,28 @@ def test_ncsn_conditional_parity_28_adjust_padding():
   """The 28px MNIST topology with adjust_padding in res4 (reference
   ncsnv2.py:172-178)."""
   _parity(_config(image_size=28, nf=4))
+
+
+def test_ncsn_full_checkpoint_conversion():
+  """convert_reference_checkpoint dispatches 'ncsn' and substitutes the
+  EMA shadows (embedding norms are ordinary parameters, so they appear in
+  the parameters()-order shadow list like everything else)."""
+  import jax
+  config = _config(image_size=16, nf=8)
+  torch.manual_seed(2)
+  oracle = TorchNCSN(config).eval()
+  shadows = [p.detach() + 0.5 for p in oracle.parameters()]
+  ckpt = {'info': 1, 'model': oracle.state_dict(),
+          'ema': {'decay': 0.999, 'num_updates': 4,
+                  'shadow_params': shadows},
+          'step': 42, 'optimizer': None}
+  state = torch_port.convert_reference_checkpoint(ckpt, config)
+  assert int(state.step) == 42
+  direct = torch_port.ncsn_params_from_torch_state_dict(
+      oracle.state_dict(), config)
+  jax.tree_util.tree_map(np.testing.assert_array_equal, state.params, direct)
+  emb = state.params['ConditionalInstanceNorm2dPlus_0']['Embed_0']['embedding']
+  eemb = state.ema_params[
+      'ConditionalInstanceNorm2dPlus_0']['Embed_0']['embedding']
+  np.testing.assert_allclose(np.asarray(eemb), np.asarray(emb) + 0.5,
+                             atol=1e-6)
