@@ -295,7 +295,9 @@ def bench_dpm():
   Same task and model as the headline (full 57.6M DDPM++ CIFAR-10 sample
   generation, batch 64, bf16) but with the multistep solver instead of the
   reference's N=1000 PC loop, so vs_baseline is the same-task speedup over
-  the A100 PC estimate.  NFE semantics differ by design (20 vs 1000);
+  the A100 PC estimate.  Batch 64 keeps the row comparable to the PC
+  headline across rounds; serving at batch 128 measures ~15% higher
+  (BASELINE.md round-5 batch sweep).  NFE semantics differ by design (20 vs 1000);
   sample quality at 20 NFE is validated separately
   (scripts/dpm_quality_check.py, tests/test_dpm_solver.py).
   """
