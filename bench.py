@@ -581,6 +581,13 @@ def _run_secondary(name: str, deadline: float):
     # expectation was wrong (the r04 failure mode: estimate below reality).
     timeout = int(min(float(os.environ.get('BENCH_SECONDARY_TIMEOUT', '2700')),
                       max(remaining - _EXIT_MARGIN_S, 120)))
+    # For deciding afterwards whether the child really ran on the chip
+    # (CPU walls must not poison the gating model) WITHOUT initializing a
+    # jax backend in this parent (a down tunnel blocks init ~15 min): the
+    # child's _emit only cache-stores measurements on a real chip, so a
+    # refreshed measured_at on the stage's primary metric is the signal.
+    primary = _SECONDARY_METRICS[name][-1]
+    stamp_before = _cache_load().get(primary, {}).get('measured_at')
     t0 = time.monotonic()
     try:
       proc = subprocess.run([sys.executable, os.path.abspath(__file__),
@@ -589,20 +596,38 @@ def _run_secondary(name: str, deadline: float):
     except subprocess.TimeoutExpired:
       print(json.dumps({"metric": f"bench_{name}_error",
                         "error": f"timeout after {timeout}s"}), flush=True)
-      return None
+      # The true wall EXCEEDS the timeout: raise the recorded wall (lower
+      # bound) when that increases the estimate, so the next run's gate is
+      # realistic — a warm-cache wall from a previous run can undershoot a
+      # cold-compile day by >2x.  Then signal the caller to stop launching
+      # live stages: the killed in-flight server compile drains for up to
+      # ~20 min (CLAUDE.md), so further stages this run would block.
+      prior = _cache_load().get('_stage_walls', {}).get(name,
+                                                        {}).get('wall_s', 0)
+      if timeout * 1.2 > float(prior):
+        _stage_wall_store(name, timeout * 1.2)
+      raise _StageTimeout(name)
     emitted = None
     for line in proc.stdout.splitlines():
       if line.startswith('{'):
         print(line, flush=True)
         emitted = line
     if proc.returncode == 0 and emitted:
-      _stage_wall_store(name, time.monotonic() - t0)
+      stamp_after = _cache_load().get(primary, {}).get('measured_at')
+      if stamp_after and stamp_after != stamp_before:  # real chip run
+        _stage_wall_store(name, time.monotonic() - t0)
       return emitted
     err_lines = [l for l in proc.stderr.splitlines() if 'Error' in l]
     err = (err_lines[-1] if err_lines else proc.stderr[-200:])[:300]
     print(json.dumps({"metric": f"bench_{name}_error",
                       "attempt": attempt + 1, "error": err}), flush=True)
   return None
+
+
+class _StageTimeout(Exception):
+  """A live stage hit its subprocess timeout: the killed in-flight remote
+  compile leaves the server draining (up to ~20 min), so the caller should
+  stop launching live stages and exit on the cached record."""
 
 
 def _tunnel_alive(timeout_s: int = 600) -> bool:
@@ -670,14 +695,37 @@ def main():
   # each gated so it can never run into the driver's kill.  The headline
   # is re-printed after every stage so the driver's last-JSON-line
   # tail-parse lands on it at any interruption point.
-  live = _run_secondary('sampling', deadline)
+  def _drain_note(exc):
+    # Killed in-flight server compile => drain: further live stages this
+    # run would block against it.  Exit on the (complete) cached record.
+    print(json.dumps({
+        "metric": "bench_live_stages_stopped",
+        "error": (f"stage '{exc.args[0]}' timed out mid-compile; the "
+                  "server drains killed compiles for up to ~20 min, so "
+                  "remaining stages use their cached values"),
+    }), flush=True)
+
+  drained = False
+  live = None
+  try:
+    live = _run_secondary('sampling', deadline)
+  except _StageTimeout as exc:
+    drained = True
+    _drain_note(exc)
   headline = live or headline
   if headline is None:
     headline = json.dumps({"metric": "bench_sampling_error",
                            "error": "no live or cached headline available"})
   print(headline, flush=True)
+  if drained:
+    return
   for name in _stale_first_order():
-    _run_secondary(name, deadline)
+    try:
+      _run_secondary(name, deadline)
+    except _StageTimeout as exc:
+      _drain_note(exc)
+      print(headline, flush=True)
+      return
     print(headline, flush=True)
 
 

@@ -53,5 +53,7 @@ for batch in BATCHES:
     print(f"[b{batch}] run {i}: {times[-1]:.3f}s -> "
           f"{batch/times[-1]:.1f} imgs/sec", flush=True)
   dt = min(times)
-  print(f"DPM_SWEEP_OK batch={batch} {batch/dt:.1f} imgs/sec/chip "
-        f"({dt:.3f}s/batch, 20 NFE)", flush=True)
+  per_chip = batch / dt / jax.device_count()   # mirrors bench_dpm's metric
+  print(f"DPM_SWEEP_OK batch={batch} {per_chip:.1f} imgs/sec/chip "
+        f"({dt:.3f}s/batch, 20 NFE, {jax.device_count()} device(s))",
+        flush=True)

@@ -100,3 +100,61 @@ def test_sampling_cache_order_ends_on_headline(tmp_cache, capsys):
   assert len(lines) == 2
   last = json.loads(lines[-1])
   assert last['metric'] == 'pc_sampling_imgs_per_sec_per_chip_cifar10_ddpmpp_n1000'
+
+
+def test_stage_timeout_records_lower_bound_and_raises(tmp_cache, capsys,
+                                                      monkeypatch):
+  """A timed-out live stage must (a) raise _StageTimeout so main() stops
+  launching further live stages (the killed in-flight server compile
+  drains for ~20 min), and (b) raise the stage's recorded wall to a
+  lower bound derived from the timeout — a warm-cache wall from a prior
+  run can undershoot a cold-compile day by >2x."""
+  import subprocess
+
+  bench._STAGES.setdefault('fake', lambda: None)
+  bench._SECONDARY_METRICS.setdefault('fake', ['fake_metric'])
+  bench._EXPECTED_SECONDARY_S.setdefault('fake', 1)
+
+  def fake_run(*args, **kwargs):
+    raise subprocess.TimeoutExpired(cmd='x', timeout=kwargs.get('timeout'))
+
+  monkeypatch.setattr(subprocess, 'run', fake_run)
+  try:
+    with pytest.raises(bench._StageTimeout):
+      bench._run_secondary('fake', deadline=bench._elapsed() + 3000)
+  finally:
+    bench._STAGES.pop('fake', None)
+    bench._SECONDARY_METRICS.pop('fake', None)
+    bench._EXPECTED_SECONDARY_S.pop('fake', None)
+  out = capsys.readouterr().out
+  assert 'timeout after' in out
+  walls = bench._cache_load().get('_stage_walls', {})
+  assert walls.get('fake', {}).get('wall_s', 0) > 0
+
+
+def test_successful_cpu_stage_does_not_record_wall(tmp_cache, monkeypatch):
+  """_run_secondary only stores a stage wall when the child actually
+  measured on the chip (detected by a refreshed measured_at on the
+  stage's primary metric — the child's _emit cache-stores only on
+  non-CPU backends), so a CPU dev-drive cannot poison the gating model."""
+  import subprocess
+
+  bench._STAGES.setdefault('fake', lambda: None)
+  bench._SECONDARY_METRICS.setdefault('fake', ['fake_metric'])
+  bench._EXPECTED_SECONDARY_S.setdefault('fake', 1)
+
+  class _Proc:
+    returncode = 0
+    stdout = '{"metric": "fake_metric", "value": 1.0}\n'
+    stderr = ''
+
+  monkeypatch.setattr(subprocess, 'run', lambda *a, **k: _Proc())
+  try:
+    # No cache write by the (simulated CPU) child: measured_at unchanged.
+    out = bench._run_secondary('fake', deadline=bench._elapsed() + 3000)
+  finally:
+    bench._STAGES.pop('fake', None)
+    bench._SECONDARY_METRICS.pop('fake', None)
+    bench._EXPECTED_SECONDARY_S.pop('fake', None)
+  assert out is not None
+  assert 'fake' not in bench._cache_load().get('_stage_walls', {})
